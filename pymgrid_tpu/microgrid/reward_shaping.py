@@ -1,0 +1,58 @@
+"""Reward shapers.
+
+YAML-tagged callables ``(step_info, cost_info) -> float`` that replace the
+summed module reward (reference: ``src/pymgrid/microgrid/reward_shaping/``).
+"""
+import numpy as np
+import yaml
+
+__all__ = ["BaseRewardShaper", "PVCurtailmentShaper", "BatteryDischargeShaper"]
+
+
+class BaseRewardShaper(yaml.YAMLObject):
+    yaml_dumper = yaml.SafeDumper
+    yaml_loader = yaml.SafeLoader
+
+    @staticmethod
+    def sum_module_val(info, module_name, module_attr):
+        try:
+            module_info = info[module_name]
+            return sum(d[module_attr] for d in module_info)
+        except KeyError:
+            return 0.0
+
+    def __call__(self, step_info, cost_info):
+        raise NotImplementedError
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}()"
+
+
+class PVCurtailmentShaper(BaseRewardShaper):
+    """Shaped reward = negative total PV curtailment (module named ``pv``)."""
+
+    yaml_tag = "!PVCurtailmentShaper"
+
+    def __call__(self, step_info, cost_info):
+        return -1.0 * self.sum_module_val(step_info, "pv", "curtailment")
+
+
+class BatteryDischargeShaper(BaseRewardShaper):
+    """Shaped reward = (battery discharge - loss load) / load, in [-1, 1]."""
+
+    yaml_tag = "!BatteryDischargeShaper"
+
+    def __call__(self, step_info, cost_info):
+        battery_discharge = self.sum_module_val(step_info, "battery", "provided_energy")
+        load = self.sum_module_val(step_info, "load", "absorbed_energy")
+        loss_load = self.sum_module_val(step_info, "unbalanced_energy", "provided_energy")
+        try:
+            percent_battery = (battery_discharge - loss_load) / load
+        except ZeroDivisionError:
+            return 0.0
+        assert (
+            -1 <= percent_battery <= 1
+            or np.isclose(percent_battery, 1)
+            or np.isclose(percent_battery, 0)
+        )
+        return percent_battery

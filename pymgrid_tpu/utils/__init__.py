@@ -1,0 +1,4 @@
+from pymgrid_tpu.utils.logger import ModularLogger
+from pymgrid_tpu.utils.space import Box, ModuleSpace, MicrogridSpace
+
+__all__ = ["ModularLogger", "Box", "ModuleSpace", "MicrogridSpace"]
