@@ -1,0 +1,521 @@
+"""The compiled microgrid engine.
+
+``make_step_fn(spec)`` builds a pure function
+
+    step(params, state, action) -> (new_state, StepOutput)
+
+that reproduces the host :meth:`Microgrid.run` three-phase dispatch
+(``microgrid/microgrid.py:227-325``) exactly — same module order, same
+floating-point summation trees (:mod:`pymgrid_tpu.core.numpy_sum`), same
+clipping/cost semantics (:mod:`pymgrid_tpu.core.physics`) — as a single
+traced XLA program with no data-dependent Python control flow.  It composes
+with ``jax.jit``, ``jax.vmap`` (replica batching) and ``lax.scan`` (time).
+
+Design notes (TPU):
+
+* All per-step work is elementwise/gather on tiny operands; XLA fuses the
+  whole step into one kernel.  Time series stay in HBM as ``(n, T+pad, f)``
+  arrays; the current row and the forecast window are ``dynamic_slice`` ops.
+* Off-end observations/forecasts are handled by pre-padding the series with
+  the forecaster's midpoint fill rows — no bounds checks in the hot path.
+* The genset state machine is branchless integer arithmetic
+  (``physics.genset_update_status``).
+* Realized forecasts ride in the state so that the value logged at step t is
+  the one observed at the end of step t-1 (gaussian forecasters draw fresh
+  noise from the threaded PRNG key each step).
+"""
+from typing import Any, Dict, NamedTuple
+
+import numpy as np
+
+from pymgrid_tpu.core import physics
+from pymgrid_tpu.core.numpy_sum import numpy_sum_compat
+
+__all__ = ["StepOutput", "make_step_fn", "make_reset_fn"]
+
+
+class StepOutput(NamedTuple):
+    obs: Any           # (obs_dim,) normalized observation
+    reward: Any        # scalar summed module reward
+    shaped_reward: Any # scalar (== reward unless spec.shaper)
+    done: Any          # scalar bool
+    log_row: Any       # (n_log_fields,) per-step log record
+    provided: Any      # scalar overall provided energy
+    absorbed: Any      # scalar overall absorbed energy
+
+
+def _kind_max_h(spec, kind):
+    hs = [m.forecast_horizon for m in spec.log_order if m.kind == kind]
+    return max(hs, default=0)
+
+
+def _n_feat(kind):
+    return 4 if kind == "grid" else 1
+
+
+def make_reset_fn(spec):
+    """Build ``reset(params, key) -> state``."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(spec.dtype)
+
+    def reset(params, key):
+        t0 = jnp.asarray(params["initial_step"], jnp.int32)
+        state = {
+            "step": t0,
+            "battery_charge": jnp.asarray(params["battery"]["init_charge"], dtype),
+            "genset": {
+                "current_status": jnp.asarray(params["genset"]["init_status"], jnp.int32),
+                "goal_status": jnp.asarray(params["genset"]["init_status"], jnp.int32),
+                "steps_until_up": jnp.where(
+                    params["genset"]["init_status"] == 1,
+                    0,
+                    jnp.asarray(params["genset"]["start_up_time"], jnp.int32),
+                ).astype(jnp.int32),
+                "steps_until_down": jnp.where(
+                    params["genset"]["init_status"] == 1,
+                    jnp.asarray(params["genset"]["wind_down_time"], jnp.int32),
+                    0,
+                ).astype(jnp.int32),
+            },
+            "rng": key,
+        }
+        state["forecast"] = _forecasts_at(spec, params, t0, key)
+        return state
+
+    return reset
+
+
+def _forecasts_at(spec, params, t, key):
+    """Realized forecast arrays {kind: (n, max_h, f)} for current step ``t``."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    dtype = jnp.dtype(spec.dtype)
+    out = {}
+    for kind in ("load", "renewable", "grid"):
+        refs = [m for m in spec.log_order if m.kind == kind]
+        max_h = _kind_max_h(spec, kind)
+        f = _n_feat(kind)
+        n = len(refs)
+        if n == 0 or max_h == 0:
+            out[kind] = jnp.zeros((n, max_h, f), dtype)
+            continue
+        rows = []
+        for ref in refs:
+            ts_slot = params[kind]["ts"][ref.slot]
+            h = ref.forecast_horizon
+            if h == 0:
+                rows.append(jnp.zeros((max_h, f), dtype))
+                continue
+            window = lax.dynamic_slice(
+                ts_slot, (t + 1, jnp.int32(0)), (h, f)
+            ).astype(dtype)
+            if ref.forecaster == "gaussian":
+                key, sub = jax.random.split(key)
+                std = params[kind]["noise_std"][ref.slot][:h]
+                noise = jax.random.normal(sub, (h, f), dtype) * std
+                n_real = jnp.clip(ref.ts_length - 1 - t, 0, h)
+                mask = (jnp.arange(h) < n_real)[:, None]
+                window = window + noise * mask
+                # clip to the observation bounds (reference Forecaster._clip)
+                window = jnp.clip(
+                    window,
+                    params[kind]["obs_low"][ref.slot],
+                    params[kind]["obs_high"][ref.slot],
+                )
+            if h < max_h:
+                window = jnp.concatenate(
+                    [window, jnp.zeros((max_h - h, f), dtype)], axis=0
+                )
+            rows.append(window)
+        out[kind] = jnp.stack(rows)
+    return out
+
+
+def make_step_fn(spec, normalized=False):
+    """Build the engine step function for ``spec``.
+
+    ``normalized`` is static: whether incoming actions are in [0, 1] and must
+    be denormalized (genset goal entries are never denormalized,
+    ``genset_module.py:119-121``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    dtype = jnp.dtype(spec.dtype)
+
+    for ref in spec.fixed:
+        if ref.kind != "load":
+            raise NotImplementedError(f"fixed-phase kind {ref.kind} unsupported")
+    for ref in spec.controllable:
+        if ref.kind not in ("battery", "genset", "grid"):
+            raise NotImplementedError(f"controllable-phase kind {ref.kind} unsupported")
+    for ref in spec.flex:
+        if ref.kind not in ("renewable", "balancing"):
+            raise NotImplementedError(f"flex-phase kind {ref.kind} unsupported")
+
+    zero = np.array(0.0, dtype)
+
+    strict_fp = dtype == jnp.dtype("float64")
+
+    def no_fma(x):
+        """Round a product before it feeds an add (float64 parity mode only).
+
+        XLA/LLVM may contract ``a*b + c`` into a fused multiply-add with a
+        single rounding; numpy (the reference) always rounds the product.  An
+        optimization barrier pins the op ordering; CPU parity runs must also
+        set ``XLA_FLAGS=--xla_cpu_max_isa=AVX`` (pre-FMA ISA) since LLVM can
+        still contract barrier-pinned scalars.  The float32 TPU fast path is
+        left barrier-free — FMA there is a accuracy win, and parity at f32 is
+        statistical, not bitwise.
+        """
+        return lax.optimization_barrier(x) if strict_fp else x
+
+    def ts_row(params, kind, slot, t):
+        return lax.dynamic_index_in_dim(
+            params[kind]["ts"][slot], t, axis=0, keepdims=False
+        ).astype(dtype)
+
+    def ts_done(params, kind, slot, t):
+        return t >= jnp.asarray(params[kind]["final_step"][slot], jnp.int32) - 1
+
+    def step(params, state, action):
+        t = state["step"]
+        provided, absorbed = [], []     # append-order traced scalars
+        rewards = []                    # strict append order (sequential +=)
+        dones = []
+        log_vals = {}                   # (name, num, field) -> traced scalar
+
+        # --------------------------------------------------- phase 1: fixed
+        for ref in spec.fixed:
+            row = ts_row(params, "load", ref.slot, t)             # (1,) negative
+            load_met = -row[0]
+            absorbed.append(load_met)
+            rewards.append(zero)
+            dones.append(ts_done(params, "load", ref.slot, t))
+            lv = {"reward": zero, "load_met": load_met, "load_current": row[0]}
+            _log_forecast(lv, ref, state["forecast"]["load"][ref.slot])
+            log_vals[(ref.name, ref.num)] = lv
+
+        fixed_provided = numpy_sum_compat(provided)
+        fixed_absorbed = numpy_sum_compat(absorbed)
+
+        # -------------------------------------------- phase 2: controllable
+        new_battery = state["battery_charge"]
+        gs = state["genset"]
+        new_genset = {k: v for k, v in gs.items()}
+
+        for ref in spec.controllable:
+            if ref.kind == "battery":
+                i = ref.slot
+                p = params["battery"]
+                a = jnp.asarray(action["battery"][i], dtype)
+                if normalized:
+                    a = p["act_low"][i] + no_fma(p["act_spread"][i] * a)
+                charge = new_battery[i]
+                eff = p["efficiency"][i]
+                max_prod = physics.battery_max_production(
+                    charge, p["min_capacity"][i], p["max_discharge"][i], eff, xp=jnp
+                )
+                max_cons = physics.battery_max_consumption(
+                    charge, p["max_capacity"][i], p["max_charge"][i], eff, xp=jnp
+                )
+                is_sink = a < 0
+                prov = physics.clip_source(a, zero, max_prod, xp=jnp)
+                internal_src = -prov / eff
+                absd = physics.clip_sink(-a, max_cons, xp=jnp)
+                internal_snk = absd * eff
+                prov = jnp.where(is_sink, zero, prov)
+                absd = jnp.where(is_sink, absd, zero)
+                internal = jnp.where(is_sink, internal_snk, internal_src)
+                soc_pre = charge / p["max_capacity"][i]
+                charge_new = charge + internal
+                charge_new = jnp.where(
+                    charge_new < p["min_capacity"][i], p["min_capacity"][i], charge_new
+                )
+                reward = -1.0 * (jnp.abs(internal) * p["battery_cost_cycle"][i])
+                new_battery = new_battery.at[i].set(charge_new)
+                provided.append(prov)
+                absorbed.append(absd)
+                rewards.append(reward)
+                dones.append(jnp.asarray(False))
+                log_vals[(ref.name, ref.num)] = {
+                    "reward": reward,
+                    ref.log_fields[1]: prov,
+                    ref.log_fields[2]: absd,
+                    "soc": soc_pre,
+                    "current_charge": charge,
+                }
+            elif ref.kind == "genset":
+                j = ref.slot
+                p = params["genset"]
+                goal_raw = jnp.asarray(action["genset"][j, 0], dtype)
+                energy = jnp.asarray(action["genset"][j, 1], dtype)
+                if normalized:
+                    energy = p["act_low"][j] + no_fma(p["act_spread"][j] * energy)
+                g = physics.round_half_even(goal_raw, xp=jnp).astype(jnp.int32)
+                cur, goal_st, up, down = physics.genset_update_status(
+                    gs["current_status"][j],
+                    gs["goal_status"][j],
+                    gs["steps_until_up"][j],
+                    gs["steps_until_down"][j],
+                    g,
+                    jnp.asarray(p["start_up_time"][j], jnp.int32),
+                    jnp.asarray(p["wind_down_time"][j], jnp.int32),
+                    p["allow_abortion"][j],
+                    xp=jnp,
+                )
+                new_genset["current_status"] = new_genset["current_status"].at[j].set(cur)
+                new_genset["goal_status"] = new_genset["goal_status"].at[j].set(goal_st)
+                new_genset["steps_until_up"] = new_genset["steps_until_up"].at[j].set(up)
+                new_genset["steps_until_down"] = (
+                    new_genset["steps_until_down"].at[j].set(down)
+                )
+                statusf = cur.astype(dtype)
+                prov = physics.clip_source(
+                    energy,
+                    statusf * p["running_min_production"][j],
+                    statusf * p["running_max_production"][j],
+                    xp=jnp,
+                )
+                co2 = p["co2_per_unit"][j] * prov
+                reward = -1.0 * (
+                    no_fma(p["genset_cost"][j] * prov)
+                    + no_fma(p["cost_per_unit_co2"][j] * co2)
+                )
+                provided.append(prov)
+                rewards.append(reward)
+                dones.append(jnp.asarray(False))
+                log_vals[(ref.name, ref.num)] = {
+                    "reward": reward,
+                    "co2_production": co2,
+                    ref.log_fields[2]: prov,
+                    "current_status": cur.astype(dtype),
+                    "goal_status": goal_st.astype(dtype),
+                    "steps_until_up": up.astype(dtype),
+                    "steps_until_down": down.astype(dtype),
+                }
+            else:  # grid
+                k = ref.slot
+                p = params["grid"]
+                a = jnp.asarray(action["grid"][k], dtype)
+                if normalized:
+                    a = p["act_low"][k] + no_fma(p["act_spread"][k] * a)
+                row = ts_row(params, "grid", k, t)       # (import, export, co2, status)
+                status = row[3]
+                is_sink = a < 0
+                prov = physics.clip_source(a, zero, p["max_import"][k] * status, xp=jnp)
+                absd = physics.clip_sink(-a, p["max_export"][k] * status, xp=jnp)
+                prov = jnp.where(is_sink, zero, prov)
+                absd = jnp.where(is_sink, absd, zero)
+                co2 = jnp.where(is_sink, zero, prov * row[2])
+                reward_imp = no_fma(-1 * row[0] * prov) + no_fma(
+                    -1.0 * p["cost_per_unit_co2"][k] * co2
+                )
+                reward_exp = row[1] * absd
+                reward = jnp.where(is_sink, reward_exp, reward_imp)
+                provided.append(prov)
+                absorbed.append(absd)
+                rewards.append(reward)
+                dones.append(ts_done(params, "grid", k, t))
+                lv = {
+                    "reward": reward,
+                    "co2_production": co2,
+                    "grid_import": prov,
+                    "grid_export": absd,
+                    "import_price_current": row[0],
+                    "export_price_current": row[1],
+                    "co2_per_kwh_current": row[2],
+                    "grid_status_current": row[3],
+                }
+                _log_forecast(lv, ref, state["forecast"]["grid"][ref.slot])
+                log_vals[(ref.name, ref.num)] = lv
+
+        provided_2 = numpy_sum_compat(provided)
+        absorbed_2 = numpy_sum_compat(absorbed)
+        difference = provided_2 - absorbed_2
+        is_excess = difference > 0
+
+        # ---------------------------------------------------- phase 3: flex
+        excess = difference
+        needed = -difference
+        curtailments = []   # (name, value) for shaped rewards
+        for ref in spec.flex:
+            if ref.kind == "renewable":
+                r = ref.slot
+                row = ts_row(params, "renewable", r, t)
+                cur = row[0]
+                src = jnp.where(cur < needed, cur, needed)
+                prov = jnp.where(is_excess, zero, src)
+                curtail = cur - prov
+                needed = needed - src
+                provided.append(prov)
+                rewards.append(zero)
+                dones.append(ts_done(params, "renewable", r, t))
+                lv = {
+                    "reward": zero,
+                    "curtailment": curtail,
+                    ref.log_fields[2]: prov,
+                    "renewable_current": cur,
+                }
+                _log_forecast(lv, ref, state["forecast"]["renewable"][ref.slot])
+                log_vals[(ref.name, ref.num)] = lv
+                curtailments.append((ref.name, curtail))
+            else:  # balancing
+                b = ref.slot
+                p = params["balancing"]
+                absd = jnp.where(is_excess, excess, zero)
+                prov = jnp.where(is_excess, zero, needed)
+                reward = jnp.where(
+                    is_excess,
+                    -1.0 * (p["overgeneration_cost"][b] * absd),
+                    -1.0 * (p["loss_load_cost"][b] * prov),
+                )
+                excess = excess + (-absd)
+                needed = needed - prov
+                provided.append(prov)
+                absorbed.append(absd)
+                rewards.append(reward)
+                dones.append(jnp.asarray(False))
+                log_vals[(ref.name, ref.num)] = {
+                    "reward": reward,
+                    ref.log_fields[1]: prov,
+                    ref.log_fields[2]: absd,
+                }
+
+        provided_f = numpy_sum_compat(provided)
+        absorbed_f = numpy_sum_compat(absorbed)
+
+        reward_total = zero
+        for r in rewards:
+            reward_total = reward_total + r
+        done = jnp.asarray(False)
+        for d in dones:
+            done = done | d
+
+        shaped = _shaped_reward(spec, reward_total, log_vals, curtailments, jnp)
+
+        # ------------------------------------------------------ advance time
+        new_t = t + 1
+        key, sub = jax.random.split(state["rng"])
+        new_state = {
+            "step": new_t,
+            "battery_charge": new_battery,
+            "genset": new_genset,
+            "rng": key,
+            "forecast": _forecasts_at(spec, params, new_t, sub),
+        }
+
+        obs = _build_obs(spec, params, new_state, jnp, dtype)
+        log_row = _build_log_row(
+            spec, log_vals, reward_total, shaped,
+            provided_f, absorbed_f,
+            provided_2 - fixed_provided, absorbed_2 - fixed_absorbed,
+            fixed_provided, fixed_absorbed, jnp, dtype,
+        )
+
+        return new_state, StepOutput(
+            obs=obs,
+            reward=reward_total,
+            shaped_reward=shaped,
+            done=done,
+            log_row=log_row,
+            provided=provided_f,
+            absorbed=absorbed_f,
+        )
+
+    return step
+
+
+def _log_forecast(lv, ref, forecast_slot):
+    """Add {component}_forecast_{j} entries from the realized forecast."""
+    if ref.forecast_horizon == 0:
+        return
+    current_fields = [f for f in ref.log_fields if f.endswith("_current")]
+    components = [f[: -len("_current")] for f in current_fields]
+    for j in range(ref.forecast_horizon):
+        for c_idx, comp in enumerate(components):
+            lv[f"{comp}_forecast_{j}"] = forecast_slot[j, c_idx]
+
+
+def _shaped_reward(spec, reward_total, log_vals, curtailments, jnp):
+    if spec.shaper is None:
+        return reward_total
+    if spec.shaper == "pv_curtailment":
+        total = 0.0
+        for name, curtail in curtailments:
+            if name == "pv":
+                total = total + curtail
+        return -1.0 * total
+    if spec.shaper == "battery_discharge":
+        def sum_field(name, field):
+            total = 0.0
+            for (n, num), lv in log_vals.items():
+                if n == name and field in lv:
+                    total = total + lv[field]
+            return total
+
+        battery = sum_field("battery", "discharge_amount")
+        load = sum_field("load", "load_met")
+        loss = sum_field("unbalanced_energy", "loss_load")
+        return jnp.where(load == 0, 0.0, (battery - loss) / jnp.where(load == 0, 1.0, load))
+    raise NotImplementedError(spec.shaper)
+
+
+def _build_obs(spec, params, state, jnp, dtype):
+    parts = []
+    for ref in spec.log_order:
+        if ref.kind in ("load", "renewable", "grid"):
+            t = state["step"]
+            from jax import lax
+
+            row = lax.dynamic_index_in_dim(
+                params[ref.kind]["ts"][ref.slot], t, axis=0, keepdims=False
+            ).astype(dtype)
+            low = params[ref.kind]["obs_low"][ref.slot]
+            spread = params[ref.kind]["obs_spread"][ref.slot]
+            vals = [(row - low) / spread]
+            if ref.forecast_horizon > 0:
+                fc = state["forecast"][ref.kind][ref.slot][: ref.forecast_horizon]
+                vals.append(((fc - low) / spread).reshape(-1))
+            parts.append(jnp.concatenate([v.reshape(-1) for v in vals]))
+        elif ref.kind == "battery":
+            p = params["battery"]
+            charge = state["battery_charge"][ref.slot]
+            vec = jnp.stack([charge / p["max_capacity"][ref.slot], charge])
+            parts.append(
+                (vec - p["obs_low"][ref.slot]) / p["obs_spread"][ref.slot]
+            )
+        elif ref.kind == "genset":
+            p = params["genset"]
+            gs = state["genset"]
+            vec = jnp.stack(
+                [
+                    gs["current_status"][ref.slot],
+                    gs["goal_status"][ref.slot],
+                    gs["steps_until_up"][ref.slot],
+                    gs["steps_until_down"][ref.slot],
+                ]
+            ).astype(dtype)
+            parts.append((vec - p["obs_low"][ref.slot]) / p["obs_spread"][ref.slot])
+        # balancing: empty state
+    if not parts:
+        return jnp.zeros((0,), dtype)
+    return jnp.concatenate(parts)
+
+
+def _build_log_row(
+    spec, log_vals, reward, shaped, overall_p, overall_a,
+    ctrl_p, ctrl_a, fixed_p, fixed_a, jnp, dtype,
+):
+    vals = []
+    for ref in spec.log_order:
+        lv = log_vals[(ref.name, ref.num)]
+        for field in ref.log_fields:
+            vals.append(lv[field])
+    vals += [reward, shaped, overall_p, overall_a, ctrl_p, ctrl_a, fixed_p, fixed_a]
+    return jnp.stack([jnp.asarray(v, dtype) for v in vals])

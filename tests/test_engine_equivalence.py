@@ -1,0 +1,131 @@
+"""Compiled-engine equivalence against the host layer.
+
+The host layer is bitwise-equal to the reference (test_reference_parity); here
+the jit-compiled engine is held to the same standard against the host layer
+in float64 on CPU: identical rewards, observations, dones, and full logs.
+"""
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pymgrid_tpu.modules as M
+from pymgrid_tpu import Microgrid
+from pymgrid_tpu.core.compiled import CompiledMicrogrid
+
+from helpers.factories import module_params, build_microgrid
+
+
+def make_host(seed=0, include=("genset", "battery", "pv", "load", "grid"), **kwargs):
+    params = module_params(seed=seed, **kwargs)
+    mods, _ = build_microgrid(M, params, include)
+    return Microgrid(mods)
+
+
+def host_flat_obs(mg):
+    return mg.state_series(normalized=True).values.astype(np.float64)
+
+
+def run_equivalence(mg, n_steps=40, seed=0, normalized=False, atol=0.0):
+    compiled = CompiledMicrogrid(mg, dtype=np.float64)
+    state = compiled.initial_state(seed=123)
+
+    np.random.seed(seed)
+    rows = []
+    for step in range(n_steps):
+        action = mg.sample_action()
+        _, host_reward, host_done, _ = mg.run(action, normalized=normalized)
+
+        eng_action = compiled.action_to_arrays(action)
+        state, out = compiled.step(state, eng_action, normalized=normalized)
+        rows.append(np.asarray(out.log_row))
+
+        assert float(out.reward) == host_reward or abs(float(out.reward) - host_reward) <= atol, (
+            f"step {step}: engine reward {float(out.reward)!r} != host {host_reward!r}"
+        )
+        assert bool(out.done) == host_done, f"step {step}: done mismatch"
+
+        np.testing.assert_allclose(
+            np.asarray(out.obs), host_flat_obs(mg), rtol=0, atol=atol,
+            err_msg=f"step {step}: obs mismatch",
+        )
+
+    host_log = mg.get_log()
+    eng_log = compiled.log_frame(np.stack(rows))
+    assert list(host_log.columns) == list(eng_log.columns), (
+        f"column order mismatch:\nhost={list(host_log.columns)}\n"
+        f"eng ={list(eng_log.columns)}"
+    )
+    np.testing.assert_allclose(
+        host_log.values.astype(np.float64),
+        eng_log.values.astype(np.float64),
+        rtol=0,
+        atol=atol,
+    )
+
+
+CONFIGS = {
+    "full": dict(),
+    "weak_grid": dict(weak_grid=True),
+    "no_genset": dict(include=("battery", "pv", "load", "grid")),
+    "no_grid": dict(include=("genset", "battery", "pv", "load")),
+    "islanded_min": dict(include=("pv", "load")),
+    "slow_genset": dict(start_up_time=3, wind_down_time=2),
+    "lossy_battery": dict(efficiency=0.5),
+    "oracle_forecast": dict(forecaster="oracle", forecast_horizon=5),
+    "oracle_long": dict(forecaster="oracle", forecast_horizon=23),
+}
+
+
+@pytest.mark.parametrize("name", CONFIGS)
+def test_engine_bitwise_equivalence(name):
+    kwargs = dict(CONFIGS[name])
+    include = kwargs.pop("include", ("genset", "battery", "pv", "load", "grid"))
+    mg = make_host(seed=zlib.crc32(name.encode()) % 997, include=include, **kwargs)
+    run_equivalence(mg, n_steps=40, seed=1)
+
+
+def test_engine_normalized_actions():
+    mg = make_host(seed=21)
+    run_equivalence(mg, n_steps=30, seed=2, normalized=True)
+
+
+def test_engine_off_end_obs():
+    """Observations past the end of the series use the midpoint fill."""
+    mg = make_host(seed=33, timesteps=25, forecaster="oracle", forecast_horizon=6)
+    run_equivalence(mg, n_steps=25, seed=3)
+
+
+def test_engine_gaussian_forecast_statistics():
+    """Gaussian forecasts can't match the host RNG; check shape and bounds."""
+    mg = make_host(seed=5, forecaster=1.0, forecast_horizon=4)
+    compiled = CompiledMicrogrid(mg, dtype=np.float64)
+    state = compiled.initial_state(seed=7)
+    np.random.seed(11)
+    for _ in range(5):
+        action = mg.sample_action()
+        state, out = compiled.step(
+            state, compiled.action_to_arrays(action), normalized=False
+        )
+        obs = np.asarray(out.obs)
+        assert obs.shape == (compiled.spec.obs_dim,)
+        assert np.all(obs >= -1e-9) and np.all(obs <= 1 + 1e-9)
+
+
+def test_engine_reward_shaping():
+    from pymgrid_tpu.microgrid.reward_shaping import PVCurtailmentShaper
+
+    params = module_params(seed=41)
+    mods, _ = build_microgrid(M, params)
+    mg = Microgrid(mods, reward_shaping_func=PVCurtailmentShaper())
+    compiled = CompiledMicrogrid(mg, dtype=np.float64)
+    state = compiled.initial_state(seed=3)
+    np.random.seed(17)
+    for step in range(20):
+        action = mg.sample_action()
+        _, host_shaped, _, _ = mg.run(action, normalized=False)
+        state, out = compiled.step(
+            state, compiled.action_to_arrays(action), normalized=False
+        )
+        assert float(out.shaped_reward) == host_shaped, f"step {step}"

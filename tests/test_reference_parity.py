@@ -6,6 +6,8 @@ observations, dones, infos, logs, and state series must agree bitwise
 """
 import warnings
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -62,7 +64,7 @@ CONFIGS = {
 def test_trajectory_parity(name):
     kwargs = dict(CONFIGS[name])
     include = kwargs.pop("include", ("genset", "battery", "pv", "load", "grid"))
-    ref_mg, our_mg = make_pair(seed=hash(name) % 1000, include=include, **kwargs)
+    ref_mg, our_mg = make_pair(seed=zlib.crc32(name.encode()) % 1000, include=include, **kwargs)
     _run_lockstep(ref_mg, our_mg, n_steps=60, seed=1)
 
     ref_log = ref_mg.get_log()
