@@ -21,6 +21,10 @@ from pymgrid_tpu.modules import ModuleContainer, UnbalancedEnergyModule
 from pymgrid_tpu.utils.logger import ModularLogger
 from pymgrid_tpu.utils.space import MicrogridSpace
 from pymgrid_tpu.utils.serialize import (
+    PymgridDumper,
+    PymgridLoader,
+    yaml_dump,
+    yaml_load,
     add_numpy_pandas_representers,
     add_numpy_pandas_constructors,
     dump_data,
@@ -38,8 +42,8 @@ class Microgrid(yaml.YAMLObject):
     """
 
     yaml_tag = "!Microgrid"
-    yaml_dumper = yaml.SafeDumper
-    yaml_loader = yaml.SafeLoader
+    yaml_dumper = PymgridDumper
+    yaml_loader = PymgridLoader
 
     def __init__(
         self,
@@ -505,11 +509,11 @@ class Microgrid(yaml.YAMLObject):
 
     # ------------------------------------------------------------------ yaml
     def dump(self, stream=None):
-        return yaml.safe_dump(self, stream=stream)
+        return yaml_dump(self, stream=stream)
 
     @classmethod
     def load(cls, stream):
-        return yaml.safe_load(stream)
+        return yaml_load(stream)
 
     @classmethod
     def to_yaml(cls, dumper, data):

@@ -6,12 +6,14 @@ summed module reward (reference: ``src/pymgrid/microgrid/reward_shaping/``).
 import numpy as np
 import yaml
 
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
+
 __all__ = ["BaseRewardShaper", "PVCurtailmentShaper", "BatteryDischargeShaper"]
 
 
 class BaseRewardShaper(yaml.YAMLObject):
-    yaml_dumper = yaml.SafeDumper
-    yaml_loader = yaml.SafeLoader
+    yaml_dumper = PymgridDumper
+    yaml_loader = PymgridLoader
 
     @staticmethod
     def sum_module_val(info, module_name, module_attr):

@@ -8,6 +8,8 @@ import inspect
 import numpy as np
 import yaml
 
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
+
 __all__ = [
     "BaseTrajectory",
     "DeterministicTrajectory",
@@ -17,8 +19,8 @@ __all__ = [
 
 
 class BaseTrajectory(yaml.YAMLObject):
-    yaml_dumper = yaml.SafeDumper
-    yaml_loader = yaml.SafeLoader
+    yaml_dumper = PymgridDumper
+    yaml_loader = PymgridLoader
 
     def __call__(self, initial_step, final_step):
         raise NotImplementedError

@@ -18,6 +18,10 @@ from pymgrid_tpu.core import physics
 from pymgrid_tpu.utils.logger import ModularLogger
 from pymgrid_tpu.utils.space import ModuleSpace
 from pymgrid_tpu.utils.serialize import (
+    PymgridDumper,
+    PymgridLoader,
+    yaml_dump,
+    yaml_load,
     add_numpy_pandas_representers,
     add_numpy_pandas_constructors,
     dump_data,
@@ -40,8 +44,8 @@ class BaseMicrogridModule(yaml.YAMLObject):
 
     module_type = None
     yaml_tag = None
-    yaml_dumper = yaml.SafeDumper
-    yaml_loader = yaml.SafeLoader
+    yaml_dumper = PymgridDumper
+    yaml_loader = PymgridLoader
 
     _energy_pos = 0
 
@@ -352,11 +356,11 @@ class BaseMicrogridModule(yaml.YAMLObject):
     def dump(self, stream=None):
         """Serialize to YAML; sidecar ``.csv.gz`` files are used when dumping
         to a named file stream (see :mod:`pymgrid_tpu.utils.serialize`)."""
-        return yaml.safe_dump(self, stream=stream)
+        return yaml_dump(self, stream=stream)
 
     @classmethod
     def load(cls, stream):
-        return yaml.safe_load(stream)
+        return yaml_load(stream)
 
     @classmethod
     def to_yaml(cls, dumper, data):

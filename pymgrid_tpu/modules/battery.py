@@ -10,6 +10,8 @@ from warnings import warn
 import numpy as np
 import yaml
 
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
+
 from pymgrid_tpu.core import physics
 from pymgrid_tpu.modules.base import BaseMicrogridModule
 
@@ -19,8 +21,8 @@ __all__ = ["BatteryModule"]
 class BatteryModule(BaseMicrogridModule):
     module_type = ("battery", "controllable")
     yaml_tag = "!BatteryModule"
-    yaml_dumper = yaml.SafeDumper
-    yaml_loader = yaml.SafeLoader
+    yaml_dumper = PymgridDumper
+    yaml_loader = PymgridLoader
 
     def __init__(
         self,

@@ -15,6 +15,8 @@ from warnings import warn
 import numpy as np
 import yaml
 
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
+
 from pymgrid_tpu.core import physics
 from pymgrid_tpu.modules.base import BaseMicrogridModule
 
@@ -24,8 +26,8 @@ __all__ = ["GensetModule"]
 class GensetModule(BaseMicrogridModule):
     module_type = ("genset", "controllable")
     yaml_tag = "!Genset"
-    yaml_dumper = yaml.SafeDumper
-    yaml_loader = yaml.SafeLoader
+    yaml_dumper = PymgridDumper
+    yaml_loader = PymgridLoader
 
     _energy_pos = 1
 

@@ -10,6 +10,8 @@ export reward is ``+export_price * E`` with no CO2.
 import numpy as np
 import yaml
 
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
+
 from pymgrid_tpu.modules.base import BaseTimeSeriesMicrogridModule, DEFAULT_HORIZON
 
 __all__ = ["GridModule"]
@@ -18,8 +20,8 @@ __all__ = ["GridModule"]
 class GridModule(BaseTimeSeriesMicrogridModule):
     module_type = ("grid", "controllable")
     yaml_tag = "!GridModule"
-    yaml_dumper = yaml.SafeDumper
-    yaml_loader = yaml.SafeLoader
+    yaml_dumper = PymgridDumper
+    yaml_loader = PymgridLoader
 
     state_components = np.array(
         ["import_price", "export_price", "co2_per_kwh", "grid_status"], dtype=object

@@ -8,6 +8,8 @@ balancing module.
 import numpy as np
 import yaml
 
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
+
 from pymgrid_tpu.modules.base import BaseTimeSeriesMicrogridModule, DEFAULT_HORIZON
 
 __all__ = ["LoadModule"]
@@ -16,8 +18,8 @@ __all__ = ["LoadModule"]
 class LoadModule(BaseTimeSeriesMicrogridModule):
     module_type = ("load", "fixed")
     yaml_tag = "!LoadModule"
-    yaml_dumper = yaml.SafeDumper
-    yaml_loader = yaml.SafeLoader
+    yaml_dumper = PymgridDumper
+    yaml_loader = PymgridLoader
 
     state_components = np.array(["load"], dtype=object)
 

@@ -7,6 +7,8 @@ dispatch is logged as ``curtailment``.  Production is free (reward 0).
 import numpy as np
 import yaml
 
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
+
 from pymgrid_tpu.modules.base import BaseTimeSeriesMicrogridModule, DEFAULT_HORIZON
 
 __all__ = ["RenewableModule"]
@@ -15,8 +17,8 @@ __all__ = ["RenewableModule"]
 class RenewableModule(BaseTimeSeriesMicrogridModule):
     module_type = ("renewable", "flex")
     yaml_tag = "!RenewableModule"
-    yaml_dumper = yaml.SafeDumper
-    yaml_loader = yaml.SafeLoader
+    yaml_dumper = PymgridDumper
+    yaml_loader = PymgridLoader
 
     state_components = np.array(["renewable"], dtype=object)
 

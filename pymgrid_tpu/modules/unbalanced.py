@@ -8,6 +8,8 @@ and ``overgeneration_cost`` per unit of excess production (as a sink).
 import numpy as np
 import yaml
 
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
+
 from pymgrid_tpu.modules.base import BaseMicrogridModule
 
 __all__ = ["UnbalancedEnergyModule"]
@@ -16,8 +18,8 @@ __all__ = ["UnbalancedEnergyModule"]
 class UnbalancedEnergyModule(BaseMicrogridModule):
     module_type = ("balancing", "flex")
     yaml_tag = "!UnbalancedEnergyModule"
-    yaml_dumper = yaml.SafeDumper
-    yaml_loader = yaml.SafeLoader
+    yaml_dumper = PymgridDumper
+    yaml_loader = PymgridLoader
 
     def __init__(self, raise_errors, initial_step=0, loss_load_cost=10, overgeneration_cost=2.0):
         super().__init__(

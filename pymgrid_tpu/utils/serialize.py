@@ -13,14 +13,35 @@ import numpy as np
 import yaml
 
 __all__ = [
+    "PymgridLoader",
+    "PymgridDumper",
     "add_numpy_pandas_representers",
     "add_numpy_pandas_constructors",
     "dump_data",
     "PathedArray",
+    "yaml_dump",
+    "yaml_load",
 ]
 
 _ARRAY_TAG = "!NDArray"
 _FRAME_TAG = "!DataFrame"
+
+
+class PymgridLoader(yaml.SafeLoader):
+    """Dedicated loader so this framework's tag constructors never collide
+    with another pymgrid implementation registered on ``yaml.SafeLoader``."""
+
+
+class PymgridDumper(yaml.SafeDumper):
+    """Dedicated dumper (see :class:`PymgridLoader`)."""
+
+
+def yaml_dump(obj, stream=None):
+    return yaml.dump(obj, stream=stream, Dumper=PymgridDumper)
+
+
+def yaml_load(stream):
+    return yaml.load(stream, Loader=PymgridLoader)
 
 
 class PathedArray(np.ndarray):
@@ -88,16 +109,16 @@ def _represent_array_like(dumper, data, tag):
 def add_numpy_pandas_representers():
     import pandas as pd
 
-    yaml.SafeDumper.add_representer(
+    PymgridDumper.add_representer(
         pd.DataFrame, lambda d, data: _represent_array_like(d, data, _FRAME_TAG)
     )
-    yaml.SafeDumper.add_multi_representer(
+    PymgridDumper.add_multi_representer(
         np.ndarray, lambda d, data: _represent_array_like(d, data, _ARRAY_TAG)
     )
-    yaml.SafeDumper.add_multi_representer(
+    PymgridDumper.add_multi_representer(
         np.floating, lambda d, data: d.represent_float(data.item())
     )
-    yaml.SafeDumper.add_multi_representer(
+    PymgridDumper.add_multi_representer(
         np.integer, lambda d, data: d.represent_int(data.item())
     )
 
@@ -130,5 +151,5 @@ def _construct_array(loader, node):
 
 
 def add_numpy_pandas_constructors():
-    yaml.SafeLoader.add_constructor(_ARRAY_TAG, _construct_array)
-    yaml.SafeLoader.add_constructor(_FRAME_TAG, _construct_frame)
+    PymgridLoader.add_constructor(_ARRAY_TAG, _construct_array)
+    PymgridLoader.add_constructor(_FRAME_TAG, _construct_frame)
