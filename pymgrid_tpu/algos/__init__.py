@@ -1,0 +1,16 @@
+from pymgrid_tpu.algos.priority_list import PriorityListAlgo, PriorityListElement
+from pymgrid_tpu.algos.rbc import RuleBasedControl
+
+__all__ = ["PriorityListAlgo", "PriorityListElement", "RuleBasedControl"]
+
+
+def __getattr__(name):
+    if name == "ModelPredictiveControl":
+        from pymgrid_tpu.algos.mpc import ModelPredictiveControl
+
+        return ModelPredictiveControl
+    if name == "SampleAverageApproximation":
+        from pymgrid_tpu.algos.saa import SampleAverageApproximation
+
+        return SampleAverageApproximation
+    raise AttributeError(name)

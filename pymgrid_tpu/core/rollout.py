@@ -1,0 +1,228 @@
+"""Engine rollouts: time-stepping under ``lax.scan`` and in-engine policies.
+
+The reference's control loops (``algos/rbc/rbc.py:87-91``, env stepping) are
+Python for-loops; here they compile to a single XLA while-program.  Policies
+are pure functions ``(params, state) -> action`` evaluated inside the scan
+body, so policy + dispatch + logging fuse into one program per step.
+"""
+from typing import Callable
+
+import numpy as np
+
+from pymgrid_tpu.core.engine import make_reset_fn, make_step_fn
+
+__all__ = [
+    "rollout_policy",
+    "rollout_actions",
+    "make_priority_policy",
+    "make_random_policy",
+]
+
+
+def make_rollout_fn(spec, policy, n_steps, normalized=False, auto_reset=False,
+                    collect=True):
+    """Build a jitted ``(params, state) -> (final_state, outputs)`` rollout.
+
+    ``params`` stays a runtime argument (never a closed-over constant): XLA
+    rewrites division-by-constant into multiplication by the reciprocal,
+    which would break bitwise parity with the numpy host layer.
+
+    ``outputs`` is a time-major :class:`~pymgrid_tpu.core.engine.StepOutput`
+    when ``collect``, else ``(rewards, dones)`` only — the low-HBM-traffic
+    mode used for throughput benchmarking.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    step_fn = make_step_fn(spec, normalized=normalized)
+    reset_fn = make_reset_fn(spec)
+
+    def rollout(params, state):
+        def body(state, _):
+            action = policy(params, state)
+            new_state, out = step_fn(params, state, action)
+            if auto_reset:
+                fresh = reset_fn(params, new_state["rng"])
+                new_state = jax.tree.map(
+                    lambda f, n: jnp.where(out.done, f, n), fresh, new_state
+                )
+            if collect:
+                return new_state, out
+            return new_state, (out.reward, out.done)
+
+        return lax.scan(body, state, None, length=n_steps)
+
+    return jax.jit(rollout)
+
+
+def rollout_policy(spec, params, state, policy, n_steps, normalized=False,
+                   auto_reset=False, collect=True):
+    """One-shot convenience wrapper over :func:`make_rollout_fn`."""
+    fn = make_rollout_fn(
+        spec, policy, n_steps, normalized=normalized, auto_reset=auto_reset,
+        collect=collect,
+    )
+    return fn(params, state)
+
+
+def rollout_actions(spec, params, state, actions, normalized=False):
+    """Scan precomputed time-major action arrays through the engine."""
+    import jax
+    from jax import lax
+
+    step_fn = make_step_fn(spec, normalized=normalized)
+
+    @jax.jit
+    def rollout(params, state, actions):
+        return lax.scan(lambda s, a: step_fn(params, s, a), state, actions)
+
+    return rollout(params, state, actions)
+
+
+def _ts_current(params, kind, slot, t, jnp, lax):
+    return lax.dynamic_index_in_dim(
+        params[kind]["ts"][slot], t, axis=0, keepdims=False
+    )
+
+
+def make_priority_policy(spec, priority_list):
+    """Compile a priority list into an engine policy.
+
+    Mirrors ``PriorityListAlgo._populate_action``
+    (``algos/priority_list/priority_list.py:69-167``): net load = fixed-sink
+    consumption minus flex-source availability; walk the (static) list,
+    deploying each controllable module against the remainder.  The list is
+    unrolled at trace time, so the policy is pure arithmetic.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    dtype = jnp.dtype(spec.dtype)
+    by_module = {(ref.name, ref.num): ref for ref in spec.controllable}
+
+    # first element of a multi-action module fixes its goal action
+    seen = set()
+    elements = []
+    for el in priority_list:
+        if el.module in seen:
+            continue
+        seen.add(el.module)
+        if el.module not in by_module:
+            raise KeyError(f"Priority element {el} has no controllable module")
+        elements.append((by_module[el.module], el))
+
+    def policy(params, state):
+        t = state["step"]
+        total_load = jnp.asarray(0.0, dtype)
+        for ref in spec.fixed:  # loads: fixed sinks
+            row = _ts_current(params, "load", ref.slot, t, jnp, lax)
+            total_load = total_load + (-row[0])
+        renewable = jnp.asarray(0.0, dtype)
+        for ref in spec.flex:
+            if ref.kind == "renewable":
+                row = _ts_current(params, "renewable", ref.slot, t, jnp, lax)
+                renewable = renewable + row[0]
+
+        remaining = total_load - renewable
+
+        action = {
+            "battery": jnp.zeros(spec.n_battery, dtype),
+            "genset": jnp.zeros((spec.n_genset, 2), dtype),
+            "grid": jnp.zeros(spec.n_grid, dtype),
+        }
+
+        for ref, el in elements:
+            near_zero = jnp.abs(remaining) <= 1e-4
+            if ref.kind == "genset":
+                p = params["genset"]
+                goal = el.action
+                gs = state["genset"]
+                cur = gs["current_status"][ref.slot]
+                up_ready = gs["steps_until_up"][ref.slot] == 0
+                down_ready = gs["steps_until_down"][ref.slot] == 0
+                if goal == 1:
+                    next_status = jnp.where(cur == 1, 1, jnp.where(up_ready, 1, 0))
+                else:
+                    next_status = jnp.where(cur == 0, 0, jnp.where(down_ready, 0, 1))
+                nsf = next_status.astype(dtype)
+                min_p = nsf * p["running_min_production"][ref.slot]
+                max_p = nsf * p["running_max_production"][ref.slot]
+                produce = jnp.where(
+                    remaining < min_p,
+                    min_p,
+                    jnp.where(remaining > max_p, max_p, remaining),
+                )
+                energy = jnp.where(
+                    near_zero, 0.0, jnp.where(remaining > 0, produce, 0.0)
+                )
+                action["genset"] = (
+                    action["genset"]
+                    .at[ref.slot, 0]
+                    .set(jnp.asarray(goal, dtype))
+                    .at[ref.slot, 1]
+                    .set(energy)
+                )
+            else:
+                if ref.kind == "battery":
+                    p = params["battery"]
+                    charge = state["battery_charge"][ref.slot]
+                    eff = p["efficiency"][ref.slot]
+                    max_p = (
+                        jnp.minimum(
+                            p["max_discharge"][ref.slot],
+                            charge - p["min_capacity"][ref.slot],
+                        )
+                        * eff
+                    )
+                    min_p = jnp.asarray(0.0, dtype)
+                    max_c = (
+                        jnp.minimum(
+                            p["max_charge"][ref.slot],
+                            p["max_capacity"][ref.slot] - charge,
+                        )
+                        / eff
+                    )
+                else:  # grid
+                    p = params["grid"]
+                    row = _ts_current(params, "grid", ref.slot, t, jnp, lax)
+                    status = row[3]
+                    max_p = p["max_import"][ref.slot] * status
+                    min_p = jnp.asarray(0.0, dtype)
+                    max_c = p["max_export"][ref.slot] * status
+
+                produce = jnp.where(
+                    remaining < min_p,
+                    min_p,
+                    jnp.where(remaining > max_p, max_p, remaining),
+                )
+                consume = jnp.where(-remaining > max_c, -max_c, remaining)
+                energy = jnp.where(
+                    near_zero, 0.0, jnp.where(remaining > 0, produce, consume)
+                )
+                action[ref.kind] = action[ref.kind].at[ref.slot].set(energy)
+
+            remaining = remaining - energy
+
+        return action
+
+    return policy
+
+
+def make_random_policy(spec, normalized=True):
+    """Uniform random actions from the threaded PRNG (for benchmarking)."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(spec.dtype)
+
+    def policy(params, state):
+        key = jax.random.fold_in(state["rng"], 7)
+        kb, kg, kr = jax.random.split(key, 3)
+        return {
+            "battery": jax.random.uniform(kb, (spec.n_battery,), dtype),
+            "genset": jax.random.uniform(kg, (spec.n_genset, 2), dtype),
+            "grid": jax.random.uniform(kr, (spec.n_grid,), dtype),
+        }
+
+    return policy

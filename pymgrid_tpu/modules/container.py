@@ -62,8 +62,13 @@ class Container(UserDict):
 
     def to_dict(self):
         d = dict()
-        for _, raw in self.containers.items():
-            d.update(raw)
+        for k, raw in self.containers.items():
+            if isinstance(raw, ModuleList):
+                # bottom-level container: name -> module list (the reference
+                # crashes here, module_container.py:52; fixed deviation)
+                d[k] = raw
+            else:
+                d.update(raw)
         return d
 
     def to_tuples(self):
