@@ -103,6 +103,25 @@ class MicrogridSpec:
     def n_log_fields(self):
         return len(self.log_columns)
 
+    def obs_segments(self):
+        """Engine obs layout: [(name, num, offset, width)] in container order."""
+        segments, offset = [], 0
+        for ref in self.log_order:
+            segments.append((ref.name, ref.num, offset, ref.obs_dim))
+            offset += ref.obs_dim
+        return segments
+
+    def env_obs_permutation(self):
+        """Indices mapping the engine obs vector to the env's flattened obs
+        (gym Dict spaces sort module names alphabetically)."""
+        segments = self.obs_segments()
+        order = sorted(range(len(segments)), key=lambda i: (segments[i][0], segments[i][1]))
+        perm = []
+        for i in order:
+            _, _, off, width = segments[i]
+            perm.extend(range(off, off + width))
+        return np.asarray(perm, dtype=np.int32)
+
     def action_sizes(self):
         """Flat action layout: battery (n_b,), genset (n_g, 2), grid (n_gr,)."""
         return {

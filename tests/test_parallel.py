@@ -1,0 +1,124 @@
+"""Batched/sharded execution: vmap-vs-single equivalence and mesh runs."""
+import numpy as np
+import pytest
+
+import pymgrid_tpu
+import pymgrid_tpu.modules as M
+from helpers.factories import module_params, build_microgrid
+
+from pymgrid_tpu.algos import RuleBasedControl
+from pymgrid_tpu.core.compiled import CompiledMicrogrid
+from pymgrid_tpu.core.rollout import make_priority_policy, make_rollout_fn
+from pymgrid_tpu.parallel import BatchedMicrogrid, BatchedDiscreteEnv, make_batch_mesh
+
+
+def _microgrid(seed=29, **kwargs):
+    params = module_params(seed=seed, **kwargs)
+    mods, _ = build_microgrid(M, params)
+    return pymgrid_tpu.Microgrid(mods)
+
+
+def test_vmap_matches_single():
+    """Each replica of a batched rollout equals its own single rollout."""
+    mg = _microgrid()
+    rbc = RuleBasedControl(mg)
+
+    batched = BatchedMicrogrid(rbc.microgrid, batch_size=4, dtype=np.float64)
+    policy = make_priority_policy(batched.spec, rbc.priority_list)
+    states = batched.reset(seed=0)
+    final, (rewards, dones) = batched.rollout(policy, 50, seed=0, collect=False)
+    assert rewards.shape == (4, 50)
+
+    # replica-wise single rollouts with the same keys
+    import jax
+
+    compiled = CompiledMicrogrid(rbc.microgrid, dtype=np.float64)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    single_fn = make_rollout_fn(compiled.spec, policy, 50, auto_reset=True, collect=False)
+    for b in range(4):
+        reset_fn = batched._reset_fn
+        state_b = jax.jit(reset_fn)(compiled.params, keys[b])
+        _, (r_b, _) = single_fn(compiled.params, state_b)
+        np.testing.assert_array_equal(np.asarray(r_b), np.asarray(rewards)[b])
+
+
+def test_batched_rollout_matches_host_rbc():
+    """Replica 0 of the deterministic RBC rollout equals the host RBC."""
+    mg = _microgrid()
+    rbc = RuleBasedControl(mg)
+    host_log = RuleBasedControl(mg).run(max_steps=60)
+    host_rewards = host_log[("balance", 0, "reward")].values
+
+    batched = BatchedMicrogrid(rbc.microgrid, batch_size=3, dtype=np.float64)
+    policy = make_priority_policy(batched.spec, rbc.priority_list)
+    _, (rewards, dones) = batched.rollout(
+        policy, 60, seed=0, auto_reset=False, collect=False
+    )
+    for b in range(3):
+        np.testing.assert_array_equal(np.asarray(rewards)[b], host_rewards)
+
+
+def test_sharded_mesh_rollout():
+    """Rollout over an 8-device CPU mesh matches the unsharded result."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    mg = _microgrid()
+    rbc = RuleBasedControl(mg)
+    mesh = make_batch_mesh(8)
+
+    batched_plain = BatchedMicrogrid(rbc.microgrid, batch_size=16, dtype=np.float64)
+    batched_mesh = BatchedMicrogrid(
+        rbc.microgrid, batch_size=16, dtype=np.float64, mesh=mesh
+    )
+    policy = make_priority_policy(batched_mesh.spec, rbc.priority_list)
+
+    _, (r_plain, _) = batched_plain.rollout(policy, 30, seed=1, collect=False)
+    _, (r_mesh, _) = batched_mesh.rollout(policy, 30, seed=1, collect=False)
+    np.testing.assert_array_equal(np.asarray(r_plain), np.asarray(r_mesh))
+
+    # replicas actually live across devices
+    states = batched_mesh.reset(seed=1)
+    sharding = states["battery_charge"].sharding
+    assert len(sharding.device_set) == 8
+
+
+def test_batched_discrete_env_matches_host():
+    from pymgrid_tpu.envs import DiscreteMicrogridEnv
+
+    params = module_params(seed=31)
+    mods, _ = build_microgrid(M, params)
+    env = DiscreteMicrogridEnv(mods)
+
+    batched = BatchedDiscreteEnv(env, batch_size=2, dtype=np.float64)
+    states = batched.reset(seed=0)
+
+    rng = np.random.RandomState(0)
+    action_seq = rng.randint(env.action_space.n, size=25)
+    env.reset()
+    for step, a in enumerate(action_seq):
+        host_obs, host_r, host_d, _ = env.step(int(a))
+        states, out = batched.step(states, np.full(2, a))
+        for b in range(2):
+            assert float(out.reward[b]) == host_r, f"step {step} replica {b}"
+            assert bool(out.done[b]) == host_d
+        np.testing.assert_array_equal(
+            np.asarray(out.obs[0]), np.asarray(host_obs, dtype=float)
+        )
+
+
+def test_auto_reset():
+    mg = _microgrid(timesteps=20)
+    rbc = RuleBasedControl(mg)
+    batched = BatchedMicrogrid(rbc.microgrid, batch_size=2, dtype=np.float64)
+    policy = make_priority_policy(batched.spec, rbc.priority_list)
+    final, (rewards, dones) = batched.rollout(
+        policy, 45, seed=0, auto_reset=True, collect=False
+    )
+    dones = np.asarray(dones)
+    assert dones.sum() > 0  # episodes ended and restarted
+    assert np.isfinite(np.asarray(rewards)).all()
+    # after done the state rewound: step counter stays within episode bounds
+    assert int(np.asarray(final["step"]).max()) <= 20
