@@ -1,0 +1,42 @@
+"""Nonmodular <-> modular conversion (reference: ``src/pymgrid/convert/``).
+
+``to_modular`` wraps each legacy architecture component in the corresponding
+module (time-series modules get an oracle forecaster with
+``horizon = nonmodular.horizon - 1``); ``to_nonmodular`` requires exactly one
+module of each type and rebuilds the legacy parameter record.
+"""
+from pymgrid_tpu.convert.get_module import get_module
+from pymgrid_tpu.convert.to_nonmodular_ops import (
+    add_params_from_module,
+    check_viability,
+    finalize_params,
+    get_empty_params,
+)
+
+__all__ = ["to_modular", "to_nonmodular"]
+
+
+def to_modular(nonmodular, raise_errors=False):
+    from pymgrid_tpu.microgrid import Microgrid
+
+    modules = [
+        ("load", get_module("load", nonmodular, raise_errors)),
+        ("unbalanced_energy", get_module("unbalanced_energy", nonmodular, raise_errors)),
+    ]
+    for component, exists in nonmodular.architecture.items():
+        if exists:
+            modules.append((component, get_module(component, nonmodular, raise_errors)))
+    return Microgrid(modules, add_unbalanced_module=False)
+
+
+def to_nonmodular(modular):
+    from pymgrid_tpu.nonmodular import NonModularMicrogrid
+
+    check_viability(modular)
+    microgrid_params = get_empty_params()
+    for _, module_list in modular.modules.iterdict():
+        add_params_from_module(module_list[0], microgrid_params)
+    finalize_params(microgrid_params)
+    return NonModularMicrogrid(
+        parameters=microgrid_params, horizon=modular.get_forecast_horizon() + 1
+    )
