@@ -36,12 +36,11 @@ class ModelPredictiveControl:
     def __init__(self, microgrid, solver=None):
         self.microgrid = microgrid
         self.is_modular = hasattr(microgrid, "modules")
-        if not self.is_modular:
-            raise NotImplementedError(
-                "pymgrid_tpu MPC currently supports modular microgrids."
-            )
-        self.microgrid_module_names = self._get_modules(microgrid)
-        self._verify_microgrid()
+        self.microgrid_module_names = (
+            self._get_modules(microgrid) if self.is_modular else {}
+        )
+        if self.is_modular:
+            self._verify_microgrid()
         self.horizon = self._get_horizon()
         self._passed_solver = solver
 
@@ -55,14 +54,16 @@ class ModelPredictiveControl:
             self.p_genset_max,
             self.cost_co2,
             self.genset_co2,
-        ) = self._parse_modular_microgrid()
+        ) = self._parse_microgrid()
 
         self._build_problem()
 
     # ------------------------------------------------------------------ setup
     @property
     def has_genset(self):
-        return "genset" in self.microgrid_module_names
+        if self.is_modular:
+            return "genset" in self.microgrid_module_names
+        return self.microgrid.architecture["genset"] == 1
 
     def _get_modules(self, microgrid):
         def strip(s, suffix="Module"):
@@ -86,12 +87,51 @@ class ModelPredictiveControl:
                 raise ValueError(f"MPC supports at most one {name} module.")
 
     def _get_horizon(self):
+        if not self.is_modular:
+            return self.microgrid.horizon
         horizon = self.microgrid.get_forecast_horizon() + 1
         if horizon == 0:
             raise ValueError(
                 "Microgrid has horizon=0. Do your timeseries modules have a forecaster?"
             )
         return horizon
+
+    def _parse_microgrid(self):
+        if self.is_modular:
+            return self._parse_modular_microgrid()
+        return self._parse_nonmodular_microgrid()
+
+    def _parse_nonmodular_microgrid(self):
+        parameters = self.microgrid.parameters
+
+        eta = parameters["battery_efficiency"].values[0]
+        battery_capacity = parameters["battery_capacity"].values[0]
+        fuel_cost = (
+            parameters["fuel_cost"].values[0]
+            if self.microgrid.architecture["genset"] == 1
+            else 0
+        )
+        cost_battery_cycle = parameters["battery_cost_cycle"].values[0]
+        cost_loss_load = parameters["cost_loss_load"].values[0]
+        cost_co2 = parameters["cost_co2"].values[0]
+
+        if self.has_genset:
+            p_genset_min = (
+                parameters["genset_pmin"].values[0]
+                * parameters["genset_rated_power"].values[0]
+            )
+            p_genset_max = (
+                parameters["genset_pmax"].values[0]
+                * parameters["genset_rated_power"].values[0]
+            )
+            genset_co2 = parameters["genset_co2"].values[0]
+        else:
+            p_genset_min, p_genset_max, genset_co2 = 0, 0, 0
+
+        return (
+            eta, battery_capacity, fuel_cost, cost_battery_cycle, cost_loss_load,
+            p_genset_min, p_genset_max, cost_co2, genset_co2,
+        )
 
     def _parse_modular_microgrid(self):
         names = self.microgrid_module_names
@@ -325,7 +365,38 @@ class ModelPredictiveControl:
         p_vars, u_genset = self._solve()
         if p_vars is None:
             return None
-        return self._extract_modular_control(p_vars, u_genset, verbose)
+        if self.is_modular:
+            return self._extract_modular_control(p_vars, u_genset, verbose)
+        load_vector, pv_vector = state_values[0], state_values[1]
+        return self._extract_control_dict(return_steps, pv_vector, load_vector, p_vars)
+
+    def _extract_control_dict(self, return_steps, pv_vector, load_vector, p_vars):
+        """Legacy control dict(s) for the nonmodular path
+        (reference ``mpc.py:799-864``)."""
+        nb = self._block
+
+        def block_dict(j):
+            base = j * nb
+            d = {
+                "battery_charge": p_vars[base + self._idx["charge"]],
+                "battery_discharge": p_vars[base + self._idx["discharge"]],
+                "grid_import": p_vars[base + self._idx["imp"]],
+                "grid_export": p_vars[base + self._idx["exp"]],
+                "loss_load": p_vars[base + self._idx["loss"]],
+                "pv_consummed": pv_vector[j] - p_vars[base + self._idx["curtail"]],
+                "pv_curtailed": p_vars[base + self._idx["curtail"]],
+                "load": load_vector[j],
+                "pv": pv_vector[j],
+            }
+            if self.has_genset:
+                d["genset"] = p_vars[base + _P_GENSET]
+            return d
+
+        if return_steps == 0:
+            return block_dict(0)
+        if return_steps > self.horizon:
+            raise ValueError("return_steps cannot be greater than horizon")
+        return [block_dict(j) for j in range(return_steps)]
 
     def _extract_modular_control(self, p_vars, u_genset, verbose=False):
         control = dict()
@@ -417,10 +488,18 @@ class ModelPredictiveControl:
                 "forecast steps cannot be longer than data length."
             )
             return forecast_steps
+        if not self.is_modular:
+            return len(self.microgrid) - self.horizon
         return self.microgrid.final_step - self.microgrid.initial_step
 
     def run(self, max_steps=None, verbose=False):
-        """Run receding-horizon MPC; returns the microgrid's log DataFrame."""
+        """Run receding-horizon MPC.
+
+        Modular path: steps the microgrid and returns its log DataFrame.
+        Nonmodular path: returns a legacy :class:`ControlOutput`.
+        """
+        if not self.is_modular:
+            return self._run_mpc_on_nonmodular(forecast_steps=max_steps, verbose=verbose)
         num_iter = self._get_num_iter(max_steps)
         self.microgrid.reset()
 
@@ -445,3 +524,159 @@ class ModelPredictiveControl:
                 break
 
         return self.microgrid.get_log()
+
+    # ------------------------------------------------------ nonmodular (legacy)
+    def _nonmodular_state_values(self, sample, soc_0, current_step):
+        """State vectors for one legacy MPC solve (reference
+        ``mpc.py:605-645,987-1025``)."""
+        horizon = self.horizon
+        mg = self.microgrid
+        i = current_step
+
+        if mg.architecture["grid"] == 0:
+            temp_grid = np.zeros(horizon)
+            price_import = np.zeros(horizon)
+            price_export = np.zeros(horizon)
+            grid_co2 = np.zeros(horizon)
+            p_max_import, p_max_export = 0, 0
+        else:
+            temp_grid = sample.loc[i : i + horizon - 1, "grid"].values
+            price_import = mg._grid_price_import.iloc[i : i + horizon].values
+            price_export = mg._grid_price_export.iloc[i : i + horizon].values
+            grid_co2 = mg._grid_co2.iloc[i : i + horizon].values
+            p_max_import = mg.parameters["grid_power_import"].values[0]
+            p_max_export = mg.parameters["grid_power_export"].values[0]
+
+        e_min = mg.parameters["battery_soc_min"].values[0]
+        e_max = mg.parameters["battery_soc_max"].values[0]
+        p_max_charge = mg.parameters["battery_power_charge"].values[0]
+        p_max_discharge = mg.parameters["battery_power_discharge"].values[0]
+        cost_co2 = mg.parameters["cost_co2"].values[0]
+
+        if self.has_genset:
+            p_genset_max = (
+                mg.parameters["genset_pmax"].values[0]
+                * mg.parameters["genset_rated_power"].values[0]
+            )
+            genset_co2 = mg.parameters["genset_co2"].values[0]
+        else:
+            p_genset_max, genset_co2 = None, 0
+
+        return (
+            sample.loc[i : i + horizon - 1, "load"].values,
+            sample.loc[i : i + horizon - 1, "pv"].values,
+            temp_grid, price_import, price_export,
+            e_max, e_min, p_max_charge, p_max_discharge,
+            p_max_import, p_max_export, soc_0, p_genset_max,
+            cost_co2, grid_co2, genset_co2,
+        )
+
+    def _run_mpc_on_nonmodular(self, forecast_steps=None, verbose=False):
+        from pymgrid_tpu.utils.data_generator import return_underlying_data
+
+        sample = return_underlying_data(self.microgrid).reset_index(drop=True)
+        return self._run_mpc_on_sample(
+            sample, forecast_steps=forecast_steps, verbose=verbose
+        )
+
+    def _run_mpc_on_sample(self, sample, forecast_steps=None, verbose=False):
+        """Full legacy MPC benchmark over a (pv, load, grid) sample;
+        returns a :class:`~pymgrid_tpu.algos.control.ControlOutput`."""
+        import pandas as pd
+        from copy import deepcopy
+        from pymgrid_tpu.algos.control import ControlOutput
+
+        if not isinstance(sample, pd.DataFrame):
+            raise TypeError(f"sample must be of type pd.DataFrame, is {type(sample)}")
+
+        sample = sample.iloc[: self.microgrid._data_length]
+        mg = self.microgrid
+        mg.reset()
+        action = deepcopy(mg._df_record_control_dict)
+        status = deepcopy(mg._df_record_state)
+        production = deepcopy(mg._df_record_actual_production)
+        cost = deepcopy(mg._df_record_cost)
+        co2 = deepcopy(mg._df_record_co2)
+
+        T = len(sample)
+        horizon = self.horizon
+        num_iter = (
+            T - horizon if forecast_steps is None else forecast_steps
+        )
+        if forecast_steps is not None:
+            assert forecast_steps <= T - horizon, "forecast steps can't look past horizon"
+
+        old_control_dict = None
+        iterator = range(num_iter)
+        if verbose:
+            try:
+                from tqdm import tqdm
+
+                iterator = tqdm(iterator, desc="MPC Progress")
+            except ImportError:
+                pass
+
+        for i in iterator:
+            soc_0 = status["battery_soc"][-1]
+            control_dict = self._set_and_solve(
+                *self._nonmodular_state_values(sample, soc_0, i),
+                iteration=i, total_iterations=num_iter,
+            )
+
+            if control_dict is not None:
+                action = mg._record_action(control_dict, action)
+                production = mg._record_production(control_dict, production, status)
+                old_control_dict = control_dict.copy()
+            elif old_control_dict is not None:
+                print("Using previous controls")
+                action = mg._record_action(old_control_dict, action)
+                production = mg._record_production(old_control_dict, production, status)
+            else:
+                raise RuntimeError(
+                    "Fell through, was unable to solve for control_dict and could "
+                    "not find previous control dict"
+                )
+
+            last_prod = {k: production[k][-1] for k in production}
+            if mg.architecture["grid"] == 1:
+                co2 = mg._record_co2(last_prod, co2, mg._grid_co2.iloc[i].values[0])
+                status = mg._update_status(
+                    last_prod, status,
+                    sample.at[i + 1, "load"], sample.at[i + 1, "pv"],
+                    sample.at[i + 1, "grid"],
+                    mg._grid_price_import.iloc[i + 1].values[0],
+                    mg._grid_price_export.iloc[i + 1].values[0],
+                    mg._grid_co2.iloc[i + 1].values[0],
+                )
+                cost = mg._record_cost(
+                    last_prod, cost, co2,
+                    mg._grid_price_import.iloc[i, 0], mg._grid_price_export.iloc[i, 0],
+                )
+            else:
+                co2 = mg._record_co2(last_prod, co2)
+                status = mg._update_status(
+                    last_prod, status, sample.at[i + 1, "load"], sample.at[i + 1, "pv"]
+                )
+                cost = mg._record_cost(last_prod, cost, co2)
+
+        names = ("action", "status", "production", "cost", "co2")
+        dfs = (action, status, production, cost, co2)
+        return ControlOutput(names, dfs, "mpc")
+
+    def mpc_single_step(self, sample, previous_output, current_step):
+        """One legacy MPC solve over the horizon; returns a
+        :class:`~pymgrid_tpu.algos.control.HorizonOutput` (used by SAA)."""
+        from pymgrid_tpu.algos.control import ControlOutput, HorizonOutput
+
+        if not isinstance(previous_output, ControlOutput):
+            raise TypeError("previous_output must be ControlOutput, unless first_step is True")
+
+        soc_0 = previous_output["status"]["battery_soc"][-1]
+        control_dicts = self._set_and_solve(
+            *self._nonmodular_state_values(sample, soc_0, current_step),
+            iteration=current_step,
+            return_steps=self.horizon,
+        )
+        if control_dicts is None or any(d is None for d in control_dicts):
+            raise TypeError("A control_dict is None")
+        return HorizonOutput(control_dicts, self.microgrid, current_step)
