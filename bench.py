@@ -1,18 +1,20 @@
 #!/usr/bin/env python
-"""Throughput benchmark: batched env-steps/s/chip on pymgrid25.
+"""Throughput benchmark: batched env-steps/s/chip on the pymgrid25 suite.
 
-Rolls out the rule-based-control policy over B replicas of pymgrid25
-microgrid_0 inside one jitted ``lax.scan`` program (policy + three-phase
-dispatch + observation construction fused per step), with episode auto-reset.
-Observations are consumed (checksummed) every step so the RL-facing obs path
-is part of the measured work, not dead code.
+All 25 benchmark scenarios are normalized onto one shared spec (neutral
+padding, bit-exact — see pymgrid_tpu/parallel/suite.py) and run as ONE jitted
+program: priority-list policy + three-phase dispatch + observation
+construction fused per step, scan over time, vmapped over replicas, vmapped
+over configs, with episode auto-reset.  Observations are consumed
+(checksummed) every step so the RL-facing obs path is measured work.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "env_steps/s/chip", "vs_baseline": N}
 vs_baseline is relative to the 1M env-steps/s/chip target (BASELINE.md).
 
-Env knobs: PYMGRID_BENCH_BATCH (default 4096), PYMGRID_BENCH_STEPS (1000),
-PYMGRID_BENCH_REPEATS (3).
+Env knobs: PYMGRID_BENCH_REPLICAS (default 20480 per config -> 512k envs),
+PYMGRID_BENCH_STEPS (default 1000), PYMGRID_BENCH_REPEATS (3),
+PYMGRID_BENCH_CONFIGS (default 25).
 """
 import json
 import os
@@ -24,87 +26,60 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_rollout(batch_size, n_steps, dtype=np.float32):
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
+def build_suite_rollout(n_configs, replicas, n_steps, dtype=np.float32):
     from pymgrid_tpu import Microgrid
     from pymgrid_tpu.algos import RuleBasedControl
-    from pymgrid_tpu.core.engine import make_reset_fn, make_step_fn
     from pymgrid_tpu.core.rollout import make_priority_policy
-    from pymgrid_tpu.core.spec import extract_spec
+    from pymgrid_tpu.parallel.suite import SuiteRunner, normalize_to_superset
 
-    mg = Microgrid.from_scenario(0)
-    rbc = RuleBasedControl(mg)
-    spec, params, _ = extract_spec(rbc.microgrid, dtype=dtype)
-    params = jax.tree.map(jnp.asarray, params)
+    microgrids = [Microgrid.from_scenario(n) for n in range(n_configs)]
+    runner = SuiteRunner(microgrids, batch_per_config=replicas, dtype=dtype)
 
-    policy = make_priority_policy(spec, rbc.priority_list)
-    step_fn = make_step_fn(spec, normalized=False)
-    reset_fn = make_reset_fn(spec)
+    # priority-list walk policy (uniform deployment order across configs)
+    padded0 = normalize_to_superset(Microgrid.from_scenario(0))
+    policy = make_priority_policy(
+        runner.spec, RuleBasedControl(padded0).priority_list
+    )
 
-    def single_rollout(params, key):
-        state = reset_fn(params, key)
-
-        def body(carry, _):
-            state, acc = carry
-            action = policy(params, state)
-            new_state, out = step_fn(params, state, action)
-            fresh = reset_fn(params, new_state["rng"])
-            new_state = jax.tree.map(
-                lambda f, n: jnp.where(out.done, f, n), fresh, new_state
-            )
-            # consume reward and obs so neither is dead code
-            acc = acc + out.reward + out.obs.sum()
-            return (new_state, acc), None
-
-        (final_state, acc), _ = lax.scan(
-            body, (state, jnp.asarray(0.0, jnp.dtype(spec.dtype))), None,
-            length=n_steps,
-        )
-        return acc
-
-    @jax.jit
-    def batch_rollout(params, keys):
-        return jax.vmap(lambda k: single_rollout(params, k))(keys)
-
-    keys = jax.random.split(jax.random.PRNGKey(0), batch_size)
-    return batch_rollout, params, keys
+    fn = runner.rollout_fn(policy, n_steps, auto_reset=True, collect=False)
+    keys = runner.make_keys(seed=0)
+    return fn, runner.params, keys
 
 
 def main():
     import jax
 
-    batch_size = int(os.environ.get("PYMGRID_BENCH_BATCH", 131072))
-    n_steps = int(os.environ.get("PYMGRID_BENCH_STEPS", 2000))
+    n_configs = int(os.environ.get("PYMGRID_BENCH_CONFIGS", 25))
+    replicas = int(os.environ.get("PYMGRID_BENCH_REPLICAS", 20480))
+    n_steps = int(os.environ.get("PYMGRID_BENCH_STEPS", 1000))
     repeats = int(os.environ.get("PYMGRID_BENCH_REPEATS", 3))
 
     backend = jax.default_backend()
     n_chips = len(jax.devices())
 
-    rollout, params, keys = build_rollout(batch_size, n_steps)
+    rollout, params, keys = build_suite_rollout(n_configs, replicas, n_steps)
 
-    # compile + warmup
+    # compile + warmup (np.asarray forces execution AND the host fetch —
+    # block_until_ready alone under-reports on relayed backends)
     np.asarray(rollout(params, keys))
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        # np.asarray forces execution AND the host fetch — block_until_ready
-        # alone under-reports on relayed backends
         np.asarray(rollout(params, keys))
         best = min(best, time.perf_counter() - t0)
 
-    steps_per_sec = batch_size * n_steps / best
-    per_chip = steps_per_sec  # single-program on one chip
+    total_envs = n_configs * replicas
+    steps_per_sec = total_envs * n_steps / best
 
     result = {
-        "metric": "batched_env_steps_per_sec_per_chip_pymgrid25_mg0_rbc",
-        "value": round(per_chip, 1),
+        "metric": "batched_env_steps_per_sec_per_chip_pymgrid25_suite",
+        "value": round(steps_per_sec, 1),
         "unit": "env_steps/s/chip",
-        "vs_baseline": round(per_chip / 1e6, 3),
-        "batch": batch_size,
+        "vs_baseline": round(steps_per_sec / 1e6, 3),
+        "n_configs": n_configs,
+        "replicas_per_config": replicas,
+        "total_envs": total_envs,
         "n_steps": n_steps,
         "backend": backend,
         "n_chips_visible": n_chips,

@@ -87,45 +87,67 @@ def make_reset_fn(spec):
     return reset
 
 
-def _forecasts_at(spec, params, t, key):
-    """Realized forecast arrays {kind: (n, max_h, f)} for current step ``t``."""
-    import jax
+def _gaussian_refs(spec, kind):
+    return [m for m in spec.log_order if m.kind == kind and m.forecaster == "gaussian"]
+
+
+def _oracle_window(spec, params, ref, t):
+    """Deterministic forecast window (oracle / fill-padded) at step ``t``."""
     import jax.numpy as jnp
     from jax import lax
 
     dtype = jnp.dtype(spec.dtype)
+    h, f = ref.forecast_horizon, ref.n_features
+    ts_slot = params[ref.kind]["ts"][ref.slot]
+    return lax.dynamic_slice(ts_slot, (t + 1, jnp.int32(0)), (h, f)).astype(dtype)
+
+
+def _realized_forecast(spec, params, state, ref, t):
+    """Forecast window for ``ref`` valid at current step ``t``.
+
+    Oracle windows are recomputed as dynamic slices of the HBM-resident
+    series (cheaper than carrying per-replica state); gaussian realizations
+    ride in ``state['forecast']`` so the value logged at step t is the one
+    observed at the end of step t-1.
+    """
+    if ref.forecast_horizon == 0:
+        return None
+    if ref.forecaster == "gaussian":
+        gslot = [m.slot for m in _gaussian_refs(spec, ref.kind)].index(ref.slot)
+        return state["forecast"][ref.kind][gslot][: ref.forecast_horizon]
+    return _oracle_window(spec, params, ref, t)
+
+
+def _forecasts_at(spec, params, t, key):
+    """Realized *gaussian* forecast state {kind: (n_gauss, max_h, f)} for
+    current step ``t``.  Deterministic forecasters carry no state."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(spec.dtype)
     out = {}
     for kind in ("load", "renewable", "grid"):
-        refs = [m for m in spec.log_order if m.kind == kind]
-        max_h = _kind_max_h(spec, kind)
-        f = _n_feat(kind)
-        n = len(refs)
-        if n == 0 or max_h == 0:
-            out[kind] = jnp.zeros((n, max_h, f), dtype)
+        refs = _gaussian_refs(spec, kind)
+        if not refs:
             continue
+        max_h = max(m.forecast_horizon for m in refs)
+        f = _n_feat(kind)
         rows = []
         for ref in refs:
-            ts_slot = params[kind]["ts"][ref.slot]
             h = ref.forecast_horizon
-            if h == 0:
-                rows.append(jnp.zeros((max_h, f), dtype))
-                continue
-            window = lax.dynamic_slice(
-                ts_slot, (t + 1, jnp.int32(0)), (h, f)
-            ).astype(dtype)
-            if ref.forecaster == "gaussian":
-                key, sub = jax.random.split(key)
-                std = params[kind]["noise_std"][ref.slot][:h]
-                noise = jax.random.normal(sub, (h, f), dtype) * std
-                n_real = jnp.clip(ref.ts_length - 1 - t, 0, h)
-                mask = (jnp.arange(h) < n_real)[:, None]
-                window = window + noise * mask
-                # clip to the observation bounds (reference Forecaster._clip)
-                window = jnp.clip(
-                    window,
-                    params[kind]["obs_low"][ref.slot],
-                    params[kind]["obs_high"][ref.slot],
-                )
+            window = _oracle_window(spec, params, ref, t)
+            key, sub = jax.random.split(key)
+            std = params[kind]["noise_std"][ref.slot][:h]
+            noise = jax.random.normal(sub, (h, f), dtype) * std
+            n_real = jnp.clip(ref.ts_length - 1 - t, 0, h)
+            mask = (jnp.arange(h) < n_real)[:, None]
+            window = window + noise * mask
+            # clip to the observation bounds (reference Forecaster._clip)
+            window = jnp.clip(
+                window,
+                params[kind]["obs_low"][ref.slot],
+                params[kind]["obs_high"][ref.slot],
+            )
             if h < max_h:
                 window = jnp.concatenate(
                     [window, jnp.zeros((max_h - h, f), dtype)], axis=0
@@ -198,7 +220,7 @@ def make_step_fn(spec, normalized=False):
             rewards.append(zero)
             dones.append(ts_done(params, "load", ref.slot, t))
             lv = {"reward": zero, "load_met": load_met, "load_current": row[0]}
-            _log_forecast(lv, ref, state["forecast"]["load"][ref.slot])
+            _log_forecast(lv, ref, _realized_forecast(spec, params, state, ref, t))
             log_vals[(ref.name, ref.num)] = lv
 
         fixed_provided = numpy_sum_compat(provided)
@@ -332,7 +354,7 @@ def make_step_fn(spec, normalized=False):
                     "co2_per_kwh_current": row[2],
                     "grid_status_current": row[3],
                 }
-                _log_forecast(lv, ref, state["forecast"]["grid"][ref.slot])
+                _log_forecast(lv, ref, _realized_forecast(spec, params, state, ref, t))
                 log_vals[(ref.name, ref.num)] = lv
 
         provided_2 = numpy_sum_compat(provided)
@@ -362,7 +384,7 @@ def make_step_fn(spec, normalized=False):
                     ref.log_fields[2]: prov,
                     "renewable_current": cur,
                 }
-                _log_forecast(lv, ref, state["forecast"]["renewable"][ref.slot])
+                _log_forecast(lv, ref, _realized_forecast(spec, params, state, ref, t))
                 log_vals[(ref.name, ref.num)] = lv
                 curtailments.append((ref.name, curtail))
             else:  # balancing
@@ -480,7 +502,7 @@ def _build_obs(spec, params, state, jnp, dtype):
             spread = params[ref.kind]["obs_spread"][ref.slot]
             vals = [(row - low) / spread]
             if ref.forecast_horizon > 0:
-                fc = state["forecast"][ref.kind][ref.slot][: ref.forecast_horizon]
+                fc = _realized_forecast(spec, params, state, ref, t)
                 vals.append(((fc - low) / spread).reshape(-1))
             parts.append(jnp.concatenate([v.reshape(-1) for v in vals]))
         elif ref.kind == "battery":

@@ -1,0 +1,96 @@
+"""Heterogeneous suite batching: neutral padding exactness and suite runs."""
+import numpy as np
+import pytest
+
+import pymgrid_tpu
+from pymgrid_tpu.algos import RuleBasedControl
+from pymgrid_tpu.core.compiled import CompiledMicrogrid
+from pymgrid_tpu.core.rollout import make_priority_policy, make_rollout_fn
+from pymgrid_tpu.parallel.suite import SuiteRunner, build_suite, normalize_to_superset
+
+
+# scenario 0: grid only; scenario 4: genset only; scenario 1: both
+@pytest.mark.parametrize("n", [0, 4, 1])
+def test_neutral_padding_is_exact(n):
+    """Padded config trajectories equal the original config bitwise."""
+    mg = pymgrid_tpu.Microgrid.from_scenario(n)
+    rbc = RuleBasedControl(mg)
+    plain_log = rbc.run_compiled(max_steps=60)
+
+    padded = normalize_to_superset(pymgrid_tpu.Microgrid.from_scenario(n))
+    padded_rbc = RuleBasedControl(padded)
+    padded_log = padded_rbc.run_compiled(max_steps=60)
+
+    # compare shared columns (padded adds neutral-module columns)
+    for col in plain_log.columns:
+        assert col in padded_log.columns, f"missing {col}"
+        np.testing.assert_array_equal(
+            plain_log[col].values.astype(float),
+            padded_log[col].values.astype(float),
+            err_msg=str(col),
+        )
+
+    # neutral modules contributed nothing
+    if ("genset", 0, "genset_production") not in plain_log.columns:
+        assert np.all(padded_log[("genset", 0, "genset_production")].values == 0)
+    if ("grid", 0, "grid_import") not in plain_log.columns:
+        assert np.all(padded_log[("grid", 0, "grid_import")].values == 0)
+        assert np.all(padded_log[("grid", 0, "grid_export")].values == 0)
+
+
+def test_build_suite_shared_spec():
+    mgs = [pymgrid_tpu.Microgrid.from_scenario(n) for n in (0, 1, 4)]
+    spec, params = build_suite(mgs, dtype=np.float64)
+    assert params["battery"]["max_capacity"].shape == (3, 1)
+    assert params["load"]["ts"].shape[0] == 3
+    assert spec.n_genset == spec.n_grid == 1
+
+
+def test_suite_runner_matches_individual():
+    """Each config's suite-run rewards equal its solo compiled run."""
+    import jax
+
+    scenarios = (0, 4)
+    mgs = [pymgrid_tpu.Microgrid.from_scenario(n) for n in scenarios]
+    runner = SuiteRunner(mgs, batch_per_config=2, dtype=np.float64)
+
+    padded0 = normalize_to_superset(pymgrid_tpu.Microgrid.from_scenario(scenarios[0]))
+    rbc = RuleBasedControl(padded0)
+    policy = make_priority_policy(runner.spec, rbc.priority_list)
+
+    fn = runner.rollout_fn(policy, 40, auto_reset=True, collect=True)
+    keys = runner.make_keys(seed=0)
+    acc, rewards = fn(runner.params, keys)
+    assert np.asarray(rewards).shape == (2, 2, 40)
+
+    # solo runs per config with same keys
+    from pymgrid_tpu.core.engine import make_reset_fn
+
+    reset_fn = jax.jit(make_reset_fn(runner.spec))
+    solo = make_rollout_fn(runner.spec, policy, 40, auto_reset=True, collect=False)
+    for c, n in enumerate(scenarios):
+        cfg_params = jax.tree.map(lambda x: x[c], runner.params)
+        for b in range(2):
+            state = reset_fn(cfg_params, keys[c, b])
+            _, (r, _) = solo(cfg_params, state)
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(rewards)[c, b])
+
+
+def test_suite_runner_sharded():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from pymgrid_tpu.parallel import make_batch_mesh
+
+    mesh = make_batch_mesh(4)
+    mgs = [pymgrid_tpu.Microgrid.from_scenario(n) for n in (0, 1, 4, 22)]
+    runner = SuiteRunner(mgs, batch_per_config=2, dtype=np.float64, mesh=mesh)
+    padded0 = normalize_to_superset(pymgrid_tpu.Microgrid.from_scenario(0))
+    policy = make_priority_policy(
+        runner.spec, RuleBasedControl(padded0).priority_list
+    )
+    fn = runner.rollout_fn(policy, 20)
+    acc = fn(runner.params, runner.make_keys(seed=1))
+    assert np.asarray(acc).shape == (4, 2)
+    assert np.isfinite(np.asarray(acc)).all()
