@@ -321,7 +321,8 @@ class ModelPredictiveControl:
 
                 warn(f"Infeasible problem ({res.message})")
                 return None, None
-            return res.x, None
+            # clamp solver tolerance noise below the variable bounds
+            return np.maximum(res.x, 0.0), None
 
         # MILP: append boolean u (H,) with p_min*u <= p_genset <= p_max*u
         n = n_p + H
@@ -357,7 +358,8 @@ class ModelPredictiveControl:
 
             warn(f"Infeasible problem ({res.message})")
             return None, None
-        return res.x[:n_p], res.x[n_p:]
+        x = np.maximum(res.x, 0.0)
+        return x[:n_p], x[n_p:]
 
     def _set_and_solve(self, *state_values, iteration=None, total_iterations=None,
                        return_steps=0, verbose=False):

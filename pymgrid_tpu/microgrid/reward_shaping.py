@@ -15,6 +15,11 @@ class BaseRewardShaper(yaml.YAMLObject):
     yaml_dumper = PymgridDumper
     yaml_loader = PymgridLoader
 
+    def __getstate__(self):
+        # Python 3.11+ object.__getstate__ returns None for empty instances,
+        # which PyYAML's represent_yaml_object cannot handle
+        return dict(self.__dict__)
+
     @staticmethod
     def sum_module_val(info, module_name, module_attr):
         try:

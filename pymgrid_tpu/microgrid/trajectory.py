@@ -22,6 +22,11 @@ class BaseTrajectory(yaml.YAMLObject):
     yaml_dumper = PymgridDumper
     yaml_loader = PymgridLoader
 
+    def __getstate__(self):
+        # Python 3.11+ object.__getstate__ returns None for empty instances,
+        # which PyYAML's represent_yaml_object cannot handle
+        return dict(self.__dict__)
+
     def __call__(self, initial_step, final_step):
         raise NotImplementedError
 

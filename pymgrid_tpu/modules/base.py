@@ -702,5 +702,13 @@ class BaseTimeSeriesMicrogridModule(BaseMicrogridModule):
     def serializable_state_attributes(self):
         return ["_current_step"]
 
+    def deserialize(self, serialized_dict):
+        # refresh the realized forecast for the restored step (the reference
+        # leaves the construction-time forecast in place, so a module
+        # serialized mid-episode would observe a stale window)
+        out = super().deserialize(serialized_dict)
+        self._current_forecast = self.forecast()
+        return out
+
     def __len__(self):
         return self._time_series.shape[0]
