@@ -28,18 +28,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def build_suite_rollout(n_configs, replicas, n_steps, dtype=np.float32):
     from pymgrid_tpu import Microgrid
-    from pymgrid_tpu.algos import RuleBasedControl
-    from pymgrid_tpu.core.rollout import make_priority_policy
-    from pymgrid_tpu.parallel.suite import SuiteRunner, normalize_to_superset
+    from pymgrid_tpu.core.rollout import make_marginal_cost_policy
+    from pymgrid_tpu.parallel.suite import SuiteRunner
 
     microgrids = [Microgrid.from_scenario(n) for n in range(n_configs)]
     runner = SuiteRunner(microgrids, batch_per_config=replicas, dtype=dtype)
 
-    # priority-list walk policy (uniform deployment order across configs)
-    padded0 = normalize_to_superset(Microgrid.from_scenario(0))
-    policy = make_priority_policy(
-        runner.spec, RuleBasedControl(padded0).priority_list
-    )
+    # per-config rule-based control: deployment order from each config's
+    # marginal costs at runtime (bitwise-equal to the host RBC, tested)
+    policy = make_marginal_cost_policy(runner.spec)
 
     fn = runner.rollout_fn(policy, n_steps, auto_reset=True, collect=False)
     keys = runner.make_keys(seed=0)

@@ -15,6 +15,7 @@ __all__ = [
     "rollout_policy",
     "rollout_actions",
     "make_priority_policy",
+    "make_marginal_cost_policy",
     "make_random_policy",
 ]
 
@@ -203,6 +204,153 @@ def make_priority_policy(spec, priority_list):
                 action[ref.kind] = action[ref.kind].at[ref.slot].set(energy)
 
             remaining = remaining - energy
+
+        return action
+
+    return policy
+
+
+def make_marginal_cost_policy(spec):
+    """Priority-list RBC with the deployment order computed *at runtime* from
+    each config's marginal costs.
+
+    The reference RBC sorts its priority list once at construction
+    (``algos/rbc/rbc.py:31-44``): battery at ``battery_cost_cycle``, grid at
+    the initial import price, genset at ``fuel + cost_co2*co2_per_unit`` (the
+    genset-on element always precedes genset-off on the cost tie, so the goal
+    is 1).  Here the same order is derived per config inside the compiled
+    program — one policy serves a heterogeneous config batch
+    (:mod:`pymgrid_tpu.parallel.suite`).
+
+    Requires at most one module per controllable kind (the suite superset).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    if spec.n_battery > 1 or spec.n_genset > 1 or spec.n_grid > 1:
+        raise NotImplementedError(
+            "Runtime-ordered RBC supports at most one module per controllable "
+            "kind; use make_priority_policy with an explicit list."
+        )
+
+    dtype = jnp.dtype(spec.dtype)
+
+    def policy(params, state):
+        t = state["step"]
+        total_load = jnp.asarray(0.0, dtype)
+        for ref in spec.fixed:
+            row = _ts_current(params, "load", ref.slot, t, jnp, lax)
+            total_load = total_load + (-row[0])
+        renewable = jnp.asarray(0.0, dtype)
+        for ref in spec.flex:
+            if ref.kind == "renewable":
+                row = _ts_current(params, "renewable", ref.slot, t, jnp, lax)
+                renewable = renewable + row[0]
+        remaining = total_load - renewable
+
+        action = {
+            "battery": jnp.zeros(spec.n_battery, dtype),
+            "genset": jnp.zeros((spec.n_genset, 2), dtype),
+            "grid": jnp.zeros(spec.n_grid, dtype),
+        }
+
+        # marginal costs (construction-time semantics: initial_step prices)
+        costs, deploys = [], []
+
+        def deploy_energy(remaining, min_p, max_p, max_c):
+            near_zero = jnp.abs(remaining) <= 1e-4
+            produce = jnp.where(
+                remaining < min_p, min_p,
+                jnp.where(remaining > max_p, max_p, remaining),
+            )
+            consume = jnp.where(-remaining > max_c, -max_c, remaining)
+            return jnp.where(
+                near_zero, 0.0, jnp.where(remaining > 0, produce, consume)
+            )
+
+        if spec.n_genset:
+            pgen = params["genset"]
+
+            def deploy_genset(remaining, action):
+                # The reference's default list keeps the genset ON only when
+                # running_min_production == 0 (the redundant off-lists are
+                # removed); otherwise the first deduped permutation carries
+                # the off element (``priority_list.py:40-67``).
+                goal = jnp.where(pgen["running_min_production"][0] == 0, 1, 0)
+                gs = state["genset"]
+                cur = gs["current_status"][0]
+                up_ready = gs["steps_until_up"][0] == 0
+                down_ready = gs["steps_until_down"][0] == 0
+                next_on = jnp.where(cur == 1, 1, jnp.where(up_ready, 1, 0))
+                next_off = jnp.where(cur == 0, 0, jnp.where(down_ready, 0, 1))
+                next_status = jnp.where(goal == 1, next_on, next_off)
+                nsf = next_status.astype(dtype)
+                min_p = nsf * pgen["running_min_production"][0]
+                max_p = nsf * pgen["running_max_production"][0]
+                near_zero = jnp.abs(remaining) <= 1e-4
+                produce = jnp.where(
+                    remaining < min_p, min_p,
+                    jnp.where(remaining > max_p, max_p, remaining),
+                )
+                e = jnp.where(near_zero, 0.0, jnp.where(remaining > 0, produce, 0.0))
+                new_genset = (
+                    action["genset"].at[0, 0].set(goal.astype(dtype)).at[0, 1].set(e)
+                )
+                return e, {**action, "genset": new_genset}
+
+            costs.append(
+                pgen["genset_cost"][0]
+                + pgen["cost_per_unit_co2"][0] * pgen["co2_per_unit"][0]
+            )
+            deploys.append(deploy_genset)
+
+        if spec.n_battery:
+            pb = params["battery"]
+
+            def deploy_battery(remaining, action):
+                charge = state["battery_charge"][0]
+                eff = pb["efficiency"][0]
+                max_p = jnp.minimum(
+                    pb["max_discharge"][0], charge - pb["min_capacity"][0]
+                ) * eff
+                max_c = jnp.minimum(
+                    pb["max_charge"][0], pb["max_capacity"][0] - charge
+                ) / eff
+                e = deploy_energy(remaining, jnp.asarray(0.0, dtype), max_p, max_c)
+                return e, {**action, "battery": action["battery"].at[0].set(e)}
+
+            costs.append(pb["battery_cost_cycle"][0])
+            deploys.append(deploy_battery)
+
+        if spec.n_grid:
+            pg = params["grid"]
+
+            def deploy_grid(remaining, action):
+                row = _ts_current(params, "grid", 0, t, jnp, lax)
+                status = row[3]
+                max_p = pg["max_import"][0] * status
+                max_c = pg["max_export"][0] * status
+                e = deploy_energy(remaining, jnp.asarray(0.0, dtype), max_p, max_c)
+                return e, {**action, "grid": action["grid"].at[0].set(e)}
+
+            costs.append(
+                params["grid"]["ts"][0][jnp.asarray(params["initial_step"], jnp.int32)][0]
+            )
+            deploys.append(deploy_grid)
+
+        order = jnp.argsort(jnp.stack(costs), stable=True)
+
+        for position in range(len(deploys)):
+            idx = order[position]
+            branch_outs = [d(remaining, action) for d in deploys]
+            energies = jnp.stack([e for e, _ in branch_outs])
+            remaining = remaining - energies[idx]
+            # merge: take the selected branch's action arrays
+            merged = {}
+            for k in action:
+                stacked = jnp.stack([a[k] for _, a in branch_outs])
+                merged[k] = stacked[idx]
+            action = merged
 
         return action
 

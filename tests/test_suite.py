@@ -94,3 +94,26 @@ def test_suite_runner_sharded():
     acc = fn(runner.params, runner.make_keys(seed=1))
     assert np.asarray(acc).shape == (4, 2)
     assert np.isfinite(np.asarray(acc)).all()
+
+
+def test_runtime_rbc_matches_host_all_scenarios():
+    """One runtime-ordered RBC policy reproduces every scenario's host RBC
+    bitwise in a single heterogeneous program."""
+    from pymgrid_tpu.core.rollout import make_marginal_cost_policy
+
+    scenarios = list(range(25))
+    mgs = [pymgrid_tpu.Microgrid.from_scenario(n) for n in scenarios]
+    runner = SuiteRunner(mgs, batch_per_config=1, dtype=np.float64)
+    policy = make_marginal_cost_policy(runner.spec)
+    fn = runner.rollout_fn(policy, 40, auto_reset=False, collect=True)
+    _, rewards = fn(runner.params, runner.make_keys(seed=0))
+
+    for c, n in enumerate(scenarios):
+        host_log = RuleBasedControl(
+            pymgrid_tpu.Microgrid.from_scenario(n)
+        ).run_compiled(max_steps=40)
+        np.testing.assert_array_equal(
+            np.asarray(rewards)[c, 0],
+            host_log[("balance", 0, "reward")].values,
+            err_msg=f"scenario {n}",
+        )
