@@ -9,6 +9,10 @@ def __getattr__(name):
         from pymgrid_tpu.algos.mpc import ModelPredictiveControl
 
         return ModelPredictiveControl
+    if name == "BatchedMPC":
+        from pymgrid_tpu.algos.mpc_jax import BatchedMPC
+
+        return BatchedMPC
     if name == "SampleAverageApproximation":
         from pymgrid_tpu.algos.saa import SampleAverageApproximation
 

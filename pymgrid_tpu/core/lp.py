@@ -1,0 +1,280 @@
+"""Batched linear programming on TPU: a PDLP-style first-order solver.
+
+Solves batches of LPs sharing one constraint structure:
+
+    min c'x   s.t.   K_eq x = b,   K_in x <= h,   x >= 0
+
+with per-problem ``(c, b, h)`` and shared ``(K_eq, K_in)`` — exactly the
+receding-horizon MPC shape (static block matrices, time-varying right-hand
+sides; see :mod:`pymgrid_tpu.algos.mpc`).  The method is primal-dual hybrid
+gradient (Chambolle-Pock) with Ruiz diagonal preconditioning and ergodic
+averaging, the same family as cuPDLP/PDLP.  Per iteration the whole batch
+does two dense matmuls against the shared constraint matrix — MXU work —so
+thousands of horizon problems solve concurrently per chip.
+
+Accuracy is first-order (~1e-4..1e-6 relative with the default iteration
+budget on MPC-sized problems); use scipy/HiGHS (:mod:`pymgrid_tpu.algos.mpc`)
+when simplex-exact vertices are required.
+"""
+import numpy as np
+
+__all__ = ["ruiz_scale", "make_batched_lp_solver"]
+
+
+def ruiz_scale(K, iters=10):
+    """Ruiz equilibration: diagonal row/col scalings D_r K D_c with rows and
+    columns brought toward unit infinity-norm."""
+    K = np.asarray(K, dtype=np.float64)
+    m, n = K.shape
+    d_r = np.ones(m)
+    d_c = np.ones(n)
+    M = K.copy()
+    for _ in range(iters):
+        row_norm = np.sqrt(np.maximum(np.abs(M).max(axis=1), 1e-12))
+        col_norm = np.sqrt(np.maximum(np.abs(M).max(axis=0), 1e-12))
+        d_r /= row_norm
+        d_c /= col_norm
+        M = K * d_r[:, None] * d_c[None, :]
+    return M, d_r, d_c
+
+
+def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64):
+    """Batched Mehrotra predictor-corrector interior-point LP solver.
+
+    Same problem family as :func:`make_batched_lp_solver` (shared constraint
+    structure, batched ``(c, b, h)``), in standard form with slacks:
+
+        min c'x  s.t.  A [x; s] = [b; h],  [x; s] >= 0,
+        A = [[K_eq, 0], [K_in, I]]
+
+    Per iteration every problem forms the normal-equations matrix
+    ``A diag(x/z) A'`` (one batched matmul — MXU work), factorizes it with a
+    batched Cholesky, and takes Mehrotra's predictor + corrector steps
+    (reusing the factorization).  Converges to ~1e-8 relative accuracy in
+    ~25-35 iterations independent of problem conditioning — unlike
+    first-order methods, which is why this is the solver behind
+    :class:`pymgrid_tpu.algos.mpc_jax.BatchedMPC`.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    K_eq = np.asarray(K_eq, dtype=np.float64)
+    K_in = np.asarray(K_in, dtype=np.float64)
+    me, n0 = K_eq.shape
+    mi = K_in.shape[0]
+    m = me + mi
+    n = n0 + mi  # with slacks
+
+    A_np = np.zeros((m, n))
+    A_np[:me, :n0] = K_eq
+    A_np[me:, :n0] = K_in
+    A_np[me:, n0:] = np.eye(mi)
+
+    # equilibrate rows for numerical stability
+    row_scale = 1.0 / np.maximum(np.abs(A_np).max(axis=1), 1e-8)
+    A_np = A_np * row_scale[:, None]
+
+    A = jnp.asarray(A_np, dtype)
+    AT = jnp.asarray(A_np.T, dtype)
+    row_scale_j = jnp.asarray(row_scale, dtype)
+
+    def solve(c, b, h):
+        B = c.shape[0]
+        cc = jnp.concatenate([c, jnp.zeros((B, mi), dtype)], axis=1)
+        bb = jnp.concatenate([b, h], axis=1) * row_scale_j[None, :]
+
+        # standard starting point (strictly positive, scaled to the data)
+        scale = 1.0 + jnp.maximum(
+            jnp.abs(bb).max(axis=1), jnp.abs(cc).max(axis=1)
+        )[:, None]
+        x = jnp.ones((B, n), dtype) * scale
+        z = jnp.ones((B, n), dtype) * scale
+        y = jnp.zeros((B, m), dtype)
+
+        eye = jnp.eye(m, dtype=dtype)
+
+        def merit(x, y, z):
+            """Progress metric: complementarity + primal/dual infeasibility."""
+            r_b = x @ AT - bb
+            r_c = y @ A + z - cc
+            mu = (x * z).sum(axis=1, keepdims=True) / n
+            return (
+                mu
+                + jnp.abs(r_b).max(axis=1, keepdims=True)
+                + jnp.abs(r_c).max(axis=1, keepdims=True)
+            )
+
+        def body(carry, _):
+            x, y, z, best = carry
+            r_b = x @ AT - bb                   # primal residual
+            r_c = y @ A + z - cc                # dual residual
+            mu = (x * z).sum(axis=1, keepdims=True) / n
+
+            d = jnp.clip(x / z, 1e-10, 1e10)
+            # M = A diag(d) A' per problem, via one batched matmul
+            Ad = d[:, None, :] * A[None, :, :]          # (B, m, n)
+            M = jnp.einsum("bmn,kn->bmk", Ad, A)
+            M = M + 1e-11 * scale[:, :, None] * eye[None, :, :]
+            L = jnp.linalg.cholesky(M)
+
+            def solve_newton(r_xz):
+                rhs = -r_b + ((r_xz - x * r_c) / z) @ AT
+                w = jax.scipy.linalg.solve_triangular(
+                    L, rhs[..., None], lower=True
+                )
+                dy = jax.scipy.linalg.solve_triangular(
+                    jnp.swapaxes(L, -1, -2), w, lower=False
+                )[..., 0]
+                dz = -r_c - dy @ A
+                dx = -(r_xz + x * dz) / z
+                return dx, dy, dz
+
+            def max_step(v, dv):
+                ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+                return jnp.minimum(1.0, 0.995 * ratio.min(axis=1, keepdims=True))
+
+            # predictor
+            dx_a, dy_a, dz_a = solve_newton(x * z)
+            a_p = max_step(x, dx_a)
+            a_d = max_step(z, dz_a)
+            mu_aff = (
+                ((x + a_p * dx_a) * (z + a_d * dz_a)).sum(axis=1, keepdims=True) / n
+            )
+            sigma = (mu_aff / mu) ** 3
+
+            # corrector (reuses the factorization)
+            r_xz = x * z + dx_a * dz_a - sigma * mu
+            dx, dy, dz = solve_newton(r_xz)
+            a_p = max_step(x, dx)
+            a_d = max_step(z, dz)
+
+            # Near the solution the normal equations grow ill-conditioned and
+            # Newton steps can blow up.  Keep iterating (unless non-finite)
+            # but track the best iterate by merit and return that — a
+            # diverging tail then cannot spoil a converged solution.
+            x_c = x + a_p * dx
+            y_c = y + a_d * dy
+            z_c = z + a_d * dz
+            finite = (
+                jnp.isfinite(x_c).all(axis=1, keepdims=True)
+                & jnp.isfinite(y_c).all(axis=1, keepdims=True)
+                & jnp.isfinite(z_c).all(axis=1, keepdims=True)
+            )
+            x = jnp.where(finite, x_c, x)
+            y = jnp.where(finite, y_c, y)
+            z = jnp.where(finite, z_c, z)
+
+            best_x, best_y, best_z, best_merit = best
+            m_new = merit(x, y, z)
+            improved = m_new < best_merit
+            best = (
+                jnp.where(improved, x, best_x),
+                jnp.where(improved, y, best_y),
+                jnp.where(improved, z, best_z),
+                jnp.where(improved, m_new, best_merit),
+            )
+            return (x, y, z, best), None
+
+        best0 = (x, y, z, jnp.full((B, 1), jnp.inf, dtype))
+        (_, _, _, best), _ = lax.scan(body, (x, y, z, best0), None, length=iters)
+        x, y, z, _ = best
+
+        r = jnp.abs(x @ AT - bb).max(axis=1)
+        x_out = x[:, :n0]
+        obj = (c * x_out).sum(axis=1)
+        gap = (x * z).sum(axis=1) / n
+        return x_out, {"residual": r, "objective": obj, "gap": gap}
+
+    return jax.jit(solve)
+
+
+def make_batched_lp_solver(K_eq, K_in, iters=8000, restart_every=200,
+                           dtype=np.float32):
+    """Build a jitted batched solver ``solve(c, b, h) -> (x, info)``.
+
+    ``K_eq (me, n)`` and ``K_in (mi, n)`` are static; ``c (B, n)``,
+    ``b (B, me)``, ``h (B, mi)`` are batched.  PDHG with Ruiz scaling,
+    per-problem primal weighting (tau/sigma balanced by ||q||/||c||) and
+    ergodic-average restarts every ``restart_every`` iterations — the
+    restart scheme that gives PDLP its fast tail convergence.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    K_eq = np.asarray(K_eq, dtype=np.float64)
+    K_in = np.asarray(K_in, dtype=np.float64)
+    me, n = K_eq.shape
+    mi = K_in.shape[0]
+
+    K = np.concatenate([K_eq, K_in], axis=0)
+    K_scaled, d_r, d_c = ruiz_scale(K)
+
+    # spectral norm of the scaled matrix via power iteration (host, once)
+    v = np.random.RandomState(0).randn(n)
+    for _ in range(50):
+        v = K_scaled.T @ (K_scaled @ v)
+        v /= np.linalg.norm(v)
+    sigma_max = float(np.sqrt(np.linalg.norm(K_scaled.T @ (K_scaled @ v))))
+
+    eta = 0.9 / sigma_max  # tau*sigma*||K||^2 < 1 with tau=eta*w, sigma=eta/w
+
+    Kj = jnp.asarray(K_scaled, dtype)
+    KjT = jnp.asarray(K_scaled.T, dtype)
+    d_r_j = jnp.asarray(d_r, dtype)
+    d_c_j = jnp.asarray(d_c, dtype)
+
+    n_restarts = max(iters // restart_every, 1)
+
+    def solve(c, b, h):
+        B = c.shape[0]
+        # scale the problem: x = D_c x', rows scaled by D_r
+        c_s = c * d_c_j[None, :]
+        q = jnp.concatenate([b, h], axis=1) * d_r_j[None, :]
+
+        # primal weight per problem (PDLP init: ||q|| / ||c||)
+        w = jnp.sqrt(
+            (jnp.linalg.norm(q, axis=1) + 1e-12)
+            / (jnp.linalg.norm(c_s, axis=1) + 1e-12)
+        )[:, None]
+        tau = eta * w
+        sigma = eta / w
+
+        x = jnp.zeros((B, n), dtype)
+        y = jnp.zeros((B, me + mi), dtype)
+
+        def inner(carry, _):
+            x, y, x_sum, y_sum, k = carry
+            x_new = jnp.maximum(x - tau * (c_s + y @ Kj), 0.0)
+            x_bar = 2.0 * x_new - x
+            y_new = y + sigma * (x_bar @ KjT - q)
+            y_new = jnp.concatenate(
+                [y_new[:, :me], jnp.maximum(y_new[:, me:], 0.0)], axis=1
+            )
+            return (x_new, y_new, x_sum + x_new, y_sum + y_new, k + 1), None
+
+        def outer(carry, _):
+            x, y = carry
+            zero_x = jnp.zeros_like(x)
+            zero_y = jnp.zeros_like(y)
+            (x, y, x_sum, y_sum, _), _ = lax.scan(
+                inner, (x, y, zero_x, zero_y, 0), None, length=restart_every
+            )
+            # restart from the ergodic average of the epoch
+            return (x_sum / restart_every, y_sum / restart_every), None
+
+        (x, y), _ = lax.scan(outer, (x, y), None, length=n_restarts)
+
+        def residual(xx):
+            r = xx @ KjT - q
+            r_eq = jnp.abs(r[:, :me]).max(axis=1)
+            r_in = jnp.maximum(r[:, me:], 0.0).max(axis=1)
+            return jnp.maximum(r_eq, r_in)
+
+        res = residual(x)
+        x_out = x * d_c_j[None, :]
+        obj = (c * x_out).sum(axis=1)
+        return x_out, {"residual": res, "objective": obj}
+
+    return jax.jit(solve)

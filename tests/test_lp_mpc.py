@@ -1,0 +1,86 @@
+"""Batched on-chip LP solving and MPC."""
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+import pymgrid_tpu
+from pymgrid_tpu.algos import ModelPredictiveControl
+from pymgrid_tpu.core.lp import make_batched_ipm_solver, make_batched_lp_solver
+
+
+def _random_lps(B=6, n=30, me=8, mi=20, seed=0):
+    rng = np.random.RandomState(seed)
+    K_eq = rng.randn(me, n)
+    K_in = rng.randn(mi, n)
+    x_feas = np.abs(rng.randn(B, n))
+    b = x_feas @ K_eq.T
+    h = x_feas @ K_in.T + np.abs(rng.randn(B, mi))
+    c = np.abs(rng.randn(B, n))
+    return K_eq, K_in, c, b, h
+
+
+def test_ipm_matches_highs_random():
+    K_eq, K_in, c, b, h = _random_lps()
+    solver = make_batched_ipm_solver(K_eq, K_in, iters=30, dtype=np.float64)
+    x, info = solver(c, b, h)
+    for i in range(c.shape[0]):
+        ref = linprog(
+            c[i], A_ub=K_in, b_ub=h[i], A_eq=K_eq, b_eq=b[i],
+            bounds=(0, None), method="highs",
+        )
+        rel = abs(float(info["objective"][i]) - ref.fun) / max(1.0, abs(ref.fun))
+        assert rel < 1e-5, f"problem {i}: rel={rel}"
+
+
+def test_pdhg_matches_highs_random():
+    K_eq, K_in, c, b, h = _random_lps(seed=3)
+    solver = make_batched_lp_solver(K_eq, K_in, iters=20000, restart_every=20000,
+                                    dtype=np.float64)
+    x, info = solver(c, b, h)
+    for i in range(c.shape[0]):
+        ref = linprog(
+            c[i], A_ub=K_in, b_ub=h[i], A_eq=K_eq, b_eq=b[i],
+            bounds=(0, None), method="highs",
+        )
+        rel = abs(float(info["objective"][i]) - ref.fun) / max(1.0, abs(ref.fun))
+        assert rel < 1e-3, f"problem {i}: rel={rel}"
+
+
+def test_ipm_on_mpc_problem():
+    mg = pymgrid_tpu.Microgrid.from_scenario(0)
+    host = ModelPredictiveControl(mg)
+    host.microgrid.reset()
+    host._set_parameters(*host._get_modular_state_values())
+    K_eq = np.asarray(host._A_eq.todense())
+    K_in = np.asarray(host._C_ub.todense())
+    solver = make_batched_ipm_solver(K_eq, K_in, iters=30, dtype=np.float64)
+    x, info = solver(host._c[None], host._b_eq[None], host._b_ub[None])
+    ref = linprog(
+        host._c, A_ub=host._C_ub, b_ub=host._b_ub,
+        A_eq=host._A_eq, b_eq=host._b_eq, bounds=(0, None), method="highs",
+    )
+    rel = abs(float(info["objective"][0]) - ref.fun) / abs(ref.fun)
+    assert rel < 1e-4
+
+
+def test_batched_mpc_rollout_close_to_host():
+    from pymgrid_tpu.algos.mpc_jax import BatchedMPC
+
+    mg = pymgrid_tpu.Microgrid.from_scenario(0)
+    host_log = ModelPredictiveControl(mg).run(max_steps=24)
+    host_cost = -host_log[("balance", 0, "reward")].sum()
+
+    bm = BatchedMPC(pymgrid_tpu.Microgrid.from_scenario(0), batch_size=3,
+                    dtype=np.float64)
+    rewards, states = bm.run(24)
+    chip_cost = -rewards[:, 0].sum()
+    assert abs(chip_cost - host_cost) / abs(host_cost) < 0.05
+    # replicas are deterministic copies
+    np.testing.assert_array_equal(rewards[:, 0], rewards[:, 1])
+
+
+def test_batched_mpc_rejects_genset():
+    from pymgrid_tpu.algos.mpc_jax import BatchedMPC
+
+    with pytest.raises(NotImplementedError):
+        BatchedMPC(pymgrid_tpu.Microgrid.from_scenario(1))
