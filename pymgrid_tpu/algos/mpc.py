@@ -33,9 +33,17 @@ _P_GENSET, _IMPORT, _EXPORT, _CHARGE, _DISCHARGE, _CURTAIL, _LOSS_LOAD, _SOC = r
 
 
 class ModelPredictiveControl:
-    def __init__(self, microgrid, solver=None):
+    def __init__(self, microgrid, solver=None, tight_battery_bounds=False):
+        """``tight_battery_bounds``: the reference MPC bounds the *external*
+        battery flows by ``max_charge``/``max_discharge``, but the modular
+        simulator applies those limits to the *internal* flows (external
+        discharge caps at ``max_discharge*efficiency``), so planned discharges
+        get clipped and show up as loss load.  Setting this True tightens the
+        model to the simulator's true bounds (a documented improvement over
+        the reference's default, which is kept for parity)."""
         self.microgrid = microgrid
         self.is_modular = hasattr(microgrid, "modules")
+        self.tight_battery_bounds = tight_battery_bounds
         self.microgrid_module_names = (
             self._get_modules(microgrid) if self.is_modular else {}
         )
@@ -462,8 +470,13 @@ class ModelPredictiveControl:
 
         battery = self.microgrid.modules[names["battery"]].item()
         e_min, e_max = battery.min_soc, battery.max_soc
-        battery_max_charge = battery.max_charge
-        battery_max_discharge = battery.max_discharge
+        if self.tight_battery_bounds:
+            # the simulator's true external bounds (see __init__ docstring)
+            battery_max_charge = battery.max_charge / battery.efficiency
+            battery_max_discharge = battery.max_discharge * battery.efficiency
+        else:
+            battery_max_charge = battery.max_charge
+            battery_max_discharge = battery.max_discharge
         soc_0 = battery.soc
 
         if "genset" in names:

@@ -138,3 +138,20 @@ def test_mpc_beats_rbc_on_scenario():
         ("balance", 0, "reward")
     ].sum()
     assert mpc_cost <= rbc_cost * 1.001
+
+
+def test_tight_battery_bounds_remove_loss_load():
+    """The reference MPC model caps external battery flows at the internal
+    limits, so planned discharges clip in the simulator and appear as loss
+    load; tight_battery_bounds models the simulator's true bounds."""
+    import pymgrid_tpu
+
+    mg = pymgrid_tpu.Microgrid.from_scenario(0)
+    loose = ModelPredictiveControl(mg).run(max_steps=15)
+    mg2 = pymgrid_tpu.Microgrid.from_scenario(0)
+    tight = ModelPredictiveControl(mg2, tight_battery_bounds=True).run(max_steps=15)
+    assert tight[("unbalanced_energy", 0, "loss_load")].sum() <= 1e-6
+    assert (
+        -tight[("balance", 0, "reward")].sum()
+        <= -loose[("balance", 0, "reward")].sum() + 1e-9
+    )

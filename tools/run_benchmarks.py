@@ -21,6 +21,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mpc", action="store_true", help="also run MPC (slow)")
+    parser.add_argument("--tight-mpc", action="store_true",
+                        help="use tight battery bounds in the MPC model")
     parser.add_argument("--scenarios", default=None)
     parser.add_argument("--out", default=REPO / "RESULTS.md", type=Path)
     args = parser.parse_args()
@@ -50,7 +52,9 @@ def main():
         if args.mpc:
             mg2 = Microgrid.from_scenario(n)
             t0 = time.time()
-            mpc_log = ModelPredictiveControl(mg2).run()
+            mpc_log = ModelPredictiveControl(
+                mg2, tight_battery_bounds=args.tight_mpc
+            ).run()
             mpc_cost = -mpc_log[("balance", 0, "reward")].sum()
             mpc_time = time.time() - t0
 
@@ -67,7 +71,10 @@ def main():
         "8759 hourly steps per scenario.  RBC runs on the compiled engine in",
         "float64 (bitwise-equal to the host/reference simulation, see",
         "tests/test_envs_algos.py); MPC uses perfect (oracle) forecasts with",
-        "horizon 24, solved by HiGHS.",
+        f"horizon 24, solved by HiGHS"
+        + (", with tight (simulator-true) battery bounds" if args.tight_mpc else
+           " (reference-faithful battery bounds; see --tight-mpc)")
+        + ".",
         "",
         "Note: the published `pymgrid 25 - benchmarks.xlsx` totals were produced",
         "by the *legacy nonmodular* pipeline and differ from the reference's own",
