@@ -1,0 +1,161 @@
+"""Pallas TPU kernel: fused multi-step microgrid rollout.
+
+A hand-written kernel for the throughput-critical inner loop of a
+grid-connected, genset-free microgrid (the pymgrid25 ``microgrid_0`` family):
+rule-based policy + three-phase dispatch + battery state update, stepping the
+*entire horizon* inside one kernel invocation with the config's time series
+resident in VMEM.
+
+Layout: the grid is tiled over replicas; each program instance owns a
+``(8, 128)`` replica tile whose battery charges live in registers/VMEM for
+all ``n_steps``, so per-step HBM traffic is zero — the time series
+(~250 KB/config) is loaded once.  The XLA-compiled engine
+(:mod:`pymgrid_tpu.core.engine`) remains the general path; this kernel is
+the speed-of-light reference for the RBC sweep workload and is validated
+against the engine in ``tests/test_pallas_rollout.py``.
+"""
+import functools
+
+import numpy as np
+
+__all__ = ["make_pallas_rbc_rollout", "supported_spec"]
+
+TILE = (8, 128)  # replicas per program instance (f32 VPU tile)
+
+
+def supported_spec(spec):
+    """This kernel covers the load+pv+battery+grid+balancing structure."""
+    return (
+        spec.n_load == 1
+        and spec.n_renewable == 1
+        and spec.n_battery == 1
+        and spec.n_grid == 1
+        and spec.n_genset == 0
+        and spec.n_balancing == 1
+    )
+
+
+def make_pallas_rbc_rollout(spec, params, n_steps, interpret=False):
+    """Build ``rollout(init_charge (B,)) -> cumulative_reward (B,)``.
+
+    ``B`` must be a multiple of 1024.  Uses the marginal-cost RBC policy
+    (battery-first iff cycle cost < initial import price, as the host RBC
+    orders it) and accumulates the per-step balance reward.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not supported_spec(spec):
+        raise NotImplementedError(
+            "pallas rollout supports the single load+pv+battery+grid config"
+        )
+
+    f32 = jnp.float32
+    load_ts = np.asarray(params["load"]["ts"][0], np.float32)        # (T,1) negative
+    pv_ts = np.asarray(params["renewable"]["ts"][0], np.float32)     # (T,1)
+    grid_ts = np.asarray(params["grid"]["ts"][0], np.float32)        # (T,4)
+
+    pb = params["battery"]
+    min_cap = float(pb["min_capacity"][0])
+    max_cap = float(pb["max_capacity"][0])
+    max_charge = float(pb["max_charge"][0])
+    max_discharge = float(pb["max_discharge"][0])
+    eff = float(pb["efficiency"][0])
+    cycle = float(pb["battery_cost_cycle"][0])
+
+    max_imp = float(params["grid"]["max_import"][0])
+    max_exp = float(params["grid"]["max_export"][0])
+    cost_co2 = float(params["grid"]["cost_per_unit_co2"][0])
+
+    loss_cost = float(params["balancing"]["loss_load_cost"][0])
+    over_cost = float(params["balancing"]["overgeneration_cost"][0])
+
+    t0 = int(params["initial_step"])
+    battery_first = cycle < float(grid_ts[t0, 0])
+
+    def kernel(load_ref, pv_ref, grid_ref, charge_ref, out_ref):
+        def body(t, carry):
+            charge, acc = carry
+            load = -load_ref[t, 0]
+            pv = pv_ref[t, 0]
+            price_imp = grid_ref[t, 0]
+            price_exp = grid_ref[t, 1]
+            co2k = grid_ref[t, 2]
+            status = grid_ref[t, 3]
+
+            # ---- marginal-cost RBC policy (vectorized over the tile) ----
+            remaining = load - pv  # scalar, broadcasts over the tile
+            max_prod_b = jnp.minimum(max_discharge, charge - min_cap) * eff
+            max_cons_b = jnp.minimum(max_charge, max_cap - charge) / eff
+            max_prod_g = max_imp * status
+            max_cons_g = max_exp * status
+
+            def deploy(remaining, max_p, max_c):
+                near0 = jnp.abs(remaining) <= 1e-4
+                produce = jnp.minimum(remaining, max_p)
+                consume = jnp.maximum(remaining, -max_c)
+                return jnp.where(
+                    near0, 0.0, jnp.where(remaining > 0, produce, consume)
+                )
+
+            if battery_first:
+                a_b = deploy(remaining, max_prod_b, max_cons_b)
+                a_g = deploy(remaining - a_b, max_prod_g, max_cons_g)
+            else:
+                a_g = deploy(jnp.full(TILE, remaining, f32), max_prod_g, max_cons_g)
+                a_b = deploy(remaining - a_g, max_prod_b, max_cons_b)
+
+            # ---- dispatch ----
+            # battery
+            b_prov = jnp.maximum(a_b, 0.0)
+            b_abs = jnp.maximum(-a_b, 0.0)
+            internal = jnp.where(a_b < 0, b_abs * eff, -b_prov / eff)
+            new_charge = jnp.maximum(charge + internal, min_cap)
+            r_batt = -jnp.abs(internal) * cycle
+            # grid
+            g_prov = jnp.maximum(a_g, 0.0)
+            g_abs = jnp.maximum(-a_g, 0.0)
+            r_grid = -(price_imp + cost_co2 * co2k) * g_prov + price_exp * g_abs
+            # flex: renewable then balancing
+            diff = (b_prov + g_prov) - (load + b_abs + g_abs)
+            needed = -diff
+            pv_used = jnp.where(diff > 0, 0.0, jnp.minimum(pv, needed))
+            resid = needed - pv_used
+            r_bal = jnp.where(
+                diff > 0, -over_cost * diff, -loss_cost * jnp.maximum(resid, 0.0)
+            )
+
+            acc = acc + r_batt + r_grid + r_bal
+            return new_charge, acc
+
+        charge0 = charge_ref[0]
+        acc0 = jnp.zeros(TILE, f32)
+        charge, acc = jax.lax.fori_loop(t0, t0 + n_steps, body, (charge0, acc0))
+        out_ref[0] = acc
+
+    def rollout(init_charge):
+        B = init_charge.shape[0]
+        n_tiles = B // (TILE[0] * TILE[1])
+        assert n_tiles * TILE[0] * TILE[1] == B, "B must be a multiple of 1024"
+        charges = init_charge.reshape(n_tiles, *TILE).astype(f32)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(load_ts.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(pv_ts.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(grid_ts.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, *TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, *TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, *TILE), f32),
+            interpret=interpret,
+        )(load_ts, pv_ts, grid_ts, charges)
+        return out.reshape(B)
+
+    return jax.jit(rollout)

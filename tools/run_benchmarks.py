@@ -29,6 +29,9 @@ def main():
 
     import jax
 
+    # run on CPU: full-year f64 scans are fast there and this avoids
+    # contending for the (single, tunneled) TPU with other work
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
     from pymgrid_tpu import Microgrid
