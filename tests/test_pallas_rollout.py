@@ -41,3 +41,19 @@ def test_pallas_rollout_rejects_genset_config():
     spec, params, _ = extract_spec(mg, dtype=np.float32)
     with pytest.raises(NotImplementedError):
         make_pallas_rbc_rollout(spec, params, 10)
+
+
+@pytest.mark.skipif(
+    "PYMGRID_TEST_TPU" not in __import__("os").environ,
+    reason="requires real TPU (set PYMGRID_TEST_TPU=1)",
+)
+def test_pallas_rollout_tpu_full_year():
+    from pymgrid_tpu.ops.pallas_rollout import make_pallas_rbc_rollout
+
+    mg = pymgrid_tpu.Microgrid.from_scenario(0)
+    spec, params, _ = extract_spec(mg, dtype=np.float32)
+    rollout = make_pallas_rbc_rollout(spec, params, 8759)
+    init = np.full(1024, float(params["battery"]["init_charge"][0]), np.float32)
+    acc = np.asarray(rollout(init))
+    # full-year RBC cost, f32 accumulation (f64 reference: 956,059.66)
+    np.testing.assert_allclose(-acc[0], 956059.66, rtol=1e-4)
