@@ -129,3 +129,42 @@ def test_engine_reward_shaping():
             state, compiled.action_to_arrays(action), normalized=False
         )
         assert float(out.shaped_reward) == host_shaped, f"step {step}"
+
+
+def test_engine_multiple_modules_per_kind():
+    """Two loads, two renewables, two batteries: exercises slot indexing and
+    the balance-sum ordering with longer operand lists."""
+    rng = np.random.RandomState(77)
+    mods = [
+        M.BatteryModule(min_capacity=0, max_capacity=100, max_charge=40,
+                        max_discharge=40, efficiency=0.9, init_soc=0.6),
+        ("aux_battery", M.BatteryModule(min_capacity=5, max_capacity=50,
+                                        max_charge=20, max_discharge=25,
+                                        efficiency=0.8, init_soc=0.4)),
+        ("pv", M.RenewableModule(time_series=40 * rng.rand(80))),
+        ("wind", M.RenewableModule(time_series=20 * rng.rand(80))),
+        M.LoadModule(time_series=45 * rng.rand(80)),
+        ("load_2", M.LoadModule(time_series=25 * rng.rand(80))),
+        M.GridModule(max_import=150, max_export=80,
+                     time_series=rng.rand(80, 3)),
+    ]
+    mg = Microgrid(mods)
+    run_equivalence(mg, n_steps=40, seed=9)
+
+
+def test_engine_two_gensets():
+    rng = np.random.RandomState(78)
+    mods = [
+        M.GensetModule(running_min_production=5, running_max_production=40,
+                       genset_cost=0.4, start_up_time=2, wind_down_time=1),
+        ("backup_genset", M.GensetModule(running_min_production=0,
+                                         running_max_production=20,
+                                         genset_cost=0.7, start_up_time=0,
+                                         wind_down_time=0, init_start_up=False)),
+        M.BatteryModule(min_capacity=0, max_capacity=80, max_charge=30,
+                        max_discharge=30, efficiency=1.0, init_soc=0.5),
+        ("pv", M.RenewableModule(time_series=30 * rng.rand(80))),
+        M.LoadModule(time_series=50 * rng.rand(80)),
+    ]
+    mg = Microgrid(mods)
+    run_equivalence(mg, n_steps=40, seed=10)
