@@ -17,4 +17,12 @@ def __getattr__(name):
         from pymgrid_tpu.algos.saa import SampleAverageApproximation
 
         return SampleAverageApproximation
+    if name == "NonModularRuleBasedControl":
+        from pymgrid_tpu.algos.nonmodular_rbc import NonModularRuleBasedControl
+
+        return NonModularRuleBasedControl
+    if name in ("Benchmarks", "ControlOutput", "HorizonOutput"):
+        from pymgrid_tpu.algos import control
+
+        return getattr(control, name)
     raise AttributeError(name)

@@ -193,14 +193,17 @@ class Benchmarks:
 
     def run_rule_based_benchmark(self, **kwargs):
         if not self.is_modular:
-            raise NotImplementedError(
-                "Rule-based benchmark requires a modular microgrid; convert with "
-                "to_modular() first."
-            )
-        from pymgrid_tpu.algos.rbc import RuleBasedControl
+            # Legacy path (the reference's only path, Control.py:284-294):
+            # NonModularRuleBasedControl returning a ControlOutput.
+            from pymgrid_tpu.algos.nonmodular_rbc import NonModularRuleBasedControl
 
-        rbc = RuleBasedControl(self.microgrid)
-        self.rule_based_output = rbc.run_compiled(**kwargs)
+            rbc = NonModularRuleBasedControl(self.microgrid)
+            self.rule_based_output = rbc.run_rule_based(**kwargs)
+        else:
+            from pymgrid_tpu.algos.rbc import RuleBasedControl
+
+            rbc = RuleBasedControl(self.microgrid)
+            self.rule_based_output = rbc.run_compiled(**kwargs)
         self.has_rule_based_benchmark = True
         self.outputs_dict["rbc"] = self.rule_based_output
 

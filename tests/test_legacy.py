@@ -169,3 +169,47 @@ def test_generator_modular_output():
         for _ in range(3):
             obs, reward, done, info = mg.run(mg.sample_action())
         assert np.isfinite(reward)
+
+
+@needs_ref
+def test_nonmodular_rbc_parity():
+    """Legacy rule-based benchmark (the xlsx pipeline) matches the reference
+    frame-by-frame across architectures (grid-only / genset / weak-grid)."""
+    ref, ours = _gen_pair(n=6, seed=3)
+    from pymgrid.algos.rbc._nonmodular_rbc import (
+        NonModularRuleBasedControl as RefRBC,
+    )
+    from pymgrid_tpu.algos.nonmodular_rbc import NonModularRuleBasedControl
+
+    import io
+    import contextlib
+
+    archs = set()
+    for rm, om in zip(ref.microgrids, ours.microgrids):
+        archs.add((rm.architecture["grid"], rm.architecture["genset"]))
+        with contextlib.redirect_stdout(io.StringIO()):
+            ref_out = RefRBC(rm).run_rule_based(length=150)
+        our_out = NonModularRuleBasedControl(om).run_rule_based(length=150)
+        for name in ("action", "status", "production", "cost", "co2"):
+            ref_d, our_d = ref_out[name], our_out[name]
+            assert set(ref_d) == set(our_d), name
+            for k in ref_d:
+                np.testing.assert_array_equal(
+                    ref_d[k], our_d[k], err_msg=f"{name}.{k}"
+                )
+    assert len(archs) >= 2  # multiple architectures actually exercised
+
+
+@needs_ref
+def test_benchmarks_nonmodular_rbc():
+    """Benchmarks orchestration runs the legacy RBC on nonmodular microgrids."""
+    from pymgrid_tpu.algos.control import Benchmarks, ControlOutput
+
+    _, ours = _gen_pair(n=1, seed=5)
+    bench = Benchmarks(ours.microgrids[0])
+    bench.run_rule_based_benchmark(length=100)
+    assert bench.has_rule_based_benchmark
+    out = bench.rule_based_output
+    assert isinstance(out, ControlOutput)
+    total = np.sum(out["cost"]["total_cost"])
+    assert np.isfinite(total) and len(out["cost"]["total_cost"]) == 100 - 24
