@@ -24,7 +24,16 @@ class SampleAverageApproximation(SampleGenerator):
             raise ValueError("control_duration must be less than 8760")
         super().__init__(microgrid, **forecast_args)
         self.control_duration = control_duration
-        self.mpc = ModelPredictiveControl(self.microgrid)
+        # Built lazily: the legacy sample envs construct an SAA purely for
+        # sampling while the microgrid's horizon is 0 (csca.py sets it), and
+        # an MPC problem cannot be assembled over an empty horizon.
+        self._mpc = None
+
+    @property
+    def mpc(self):
+        if self._mpc is None:
+            self._mpc = ModelPredictiveControl(self.microgrid)
+        return self._mpc
 
     def run(self, n_samples=10, forecast_steps=None, optimal_percentile=0.5,
             use_previous_samples=True, verbose=False, **kwargs):
