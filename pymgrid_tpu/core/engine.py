@@ -44,6 +44,57 @@ class StepOutput(NamedTuple):
     absorbed: Any      # scalar overall absorbed energy
 
 
+def _trace_custom(ref, thunk):
+    """Trace a user callable into the engine, with guidance on failure."""
+    try:
+        return thunk()
+    except Exception as exc:  # tracing-time failure (concretization etc.)
+        raise NotImplementedError(
+            f"The custom callable on module ({ref.name}, {ref.num}) is not "
+            f"JAX-traceable and cannot run in the compiled engine; use the "
+            f"host Microgrid.run path, or rewrite the callable with "
+            f"jax/numpy-compatible ops (no Python branching on values). "
+            f"Original error: {exc!r}"
+        ) from exc
+
+
+def _custom_battery_transition(ref, p, i, eff, charge, max_prod, max_cons,
+                               prov, absd, dtype):
+    """Trace a user ``battery_transition_model`` for both flow directions.
+
+    The reference calls it with keyword arguments only
+    (``battery_module.py:149-189,214-243``): the external energy change is
+    negative for a discharge (source) and positive for a charge (sink), and
+    the return value is the internal energy change.
+    """
+    import jax.numpy as jnp
+
+    kwargs = dict(
+        min_capacity=p["min_capacity"][i],
+        max_capacity=p["max_capacity"][i],
+        max_charge=p["max_charge"][i],
+        max_discharge=p["max_discharge"][i],
+        efficiency=eff,
+        battery_cost_cycle=p["battery_cost_cycle"][i],
+        max_production=max_prod,
+        max_consumption=max_cons,
+        state_dict={"soc": charge / p["max_capacity"][i], "current_charge": charge},
+    )
+    internal_src = _trace_custom(
+        ref,
+        lambda: jnp.asarray(
+            ref.custom_fn(external_energy_change=-1.0 * prov, **kwargs), dtype
+        ),
+    )
+    internal_snk = _trace_custom(
+        ref,
+        lambda: jnp.asarray(
+            ref.custom_fn(external_energy_change=absd, **kwargs), dtype
+        ),
+    )
+    return internal_src, internal_snk
+
+
 def _kind_max_h(spec, kind):
     hs = [m.forecast_horizon for m in spec.log_order if m.kind == kind]
     return max(hs, default=0)
@@ -248,9 +299,14 @@ def make_step_fn(spec, normalized=False):
                 )
                 is_sink = a < 0
                 prov = physics.clip_source(a, zero, max_prod, xp=jnp)
-                internal_src = -prov / eff
                 absd = physics.clip_sink(-a, max_cons, xp=jnp)
-                internal_snk = absd * eff
+                if ref.custom_fn is not None:
+                    internal_src, internal_snk = _custom_battery_transition(
+                        ref, p, i, eff, charge, max_prod, max_cons, prov, absd, dtype
+                    )
+                else:
+                    internal_src = -prov / eff
+                    internal_snk = absd * eff
                 prov = jnp.where(is_sink, zero, prov)
                 absd = jnp.where(is_sink, absd, zero)
                 internal = jnp.where(is_sink, internal_snk, internal_src)
@@ -305,10 +361,11 @@ def make_step_fn(spec, normalized=False):
                     xp=jnp,
                 )
                 co2 = p["co2_per_unit"][j] * prov
-                reward = -1.0 * (
-                    no_fma(p["genset_cost"][j] * prov)
-                    + no_fma(p["cost_per_unit_co2"][j] * co2)
-                )
+                if ref.custom_fn is not None:
+                    fuel = _trace_custom(ref, lambda: jnp.asarray(ref.custom_fn(prov), dtype))
+                else:
+                    fuel = no_fma(p["genset_cost"][j] * prov)
+                reward = -1.0 * (fuel + no_fma(p["cost_per_unit_co2"][j] * co2))
                 provided.append(prov)
                 rewards.append(reward)
                 dones.append(jnp.asarray(False))

@@ -51,6 +51,12 @@ class ModuleRef:
     n_features: int = 1
     obs_dim: int = 0
     ts_length: int = 0             # real (unpadded) series length, ts kinds only
+    # User-supplied callable traced into the engine: a genset fuel-cost
+    # function (reference genset_module.py:183-186) or a battery transition
+    # model (reference battery_module.py:149-189).  Must be JAX-traceable;
+    # non-traceable callables fail at compile time with guidance to use the
+    # host path.
+    custom_fn: Optional[object] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,27 +214,20 @@ def extract_spec(microgrid, dtype=np.float64):
                 fkind, h, f, obs_dim=f * (1 + h), ts_length=len(module),
             )
         if isinstance(module, BatteryModule):
-            if module.battery_transition_model is not None:
-                raise NotImplementedError(
-                    "Engine supports the default battery transition model only."
-                )
             return ModuleRef(
                 "battery", len(slots["battery"]), name, num,
                 ("reward", module.provided_energy_name, module.absorbed_energy_name,
                  "soc", "current_charge"),
                 obs_dim=2,
+                custom_fn=module.battery_transition_model,
             )
         if isinstance(module, GensetModule):
-            if callable(module.genset_cost):
-                raise NotImplementedError(
-                    "Engine supports scalar genset_cost only (callable costs run "
-                    "on the host path)."
-                )
             return ModuleRef(
                 "genset", len(slots["genset"]), name, num,
                 ("reward", "co2_production", module.provided_energy_name,
                  "current_status", "goal_status", "steps_until_up", "steps_until_down"),
                 obs_dim=4,
+                custom_fn=module.genset_cost if callable(module.genset_cost) else None,
             )
         if isinstance(module, UnbalancedEnergyModule):
             return ModuleRef(
@@ -397,7 +396,15 @@ def _extract_params(microgrid, slots, spec, dtype):
     params["genset"] = {
         "running_min_production": _stack(gensets, "running_min_production", dtype),
         "running_max_production": _stack(gensets, "running_max_production", dtype),
-        "genset_cost": _stack(gensets, "genset_cost", dtype),
+        # Callable costs are traced into the engine via ModuleRef.custom_fn;
+        # the scalar slot then only feeds the runtime marginal-cost policy
+        # ordering, where fuel-at-unit-production keeps the reference's
+        # get_cost(1.0) ordering (genset_module.py:226-227).
+        "genset_cost": np.array(
+            [m.genset_cost(1.0) if callable(m.genset_cost) else m.genset_cost
+             for m in gensets],
+            dtype=dtype,
+        ),
         "co2_per_unit": _stack(gensets, "co2_per_unit", dtype),
         "cost_per_unit_co2": _stack(gensets, "cost_per_unit_co2", dtype),
         "start_up_time": _stack(gensets, "start_up_time", np.int64),

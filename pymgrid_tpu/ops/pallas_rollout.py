@@ -32,6 +32,7 @@ def supported_spec(spec):
         and spec.n_grid == 1
         and spec.n_genset == 0
         and spec.n_balancing == 1
+        and all(m.custom_fn is None for m in spec.modules)
     )
 
 

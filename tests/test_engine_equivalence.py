@@ -168,3 +168,81 @@ def test_engine_two_gensets():
     ]
     mg = Microgrid(mods)
     run_equivalence(mg, n_steps=40, seed=10)
+
+
+def _polynomial_fuel_cost(production):
+    """Traceable callable genset cost: quadratic fuel curve."""
+    return 0.4 * production + 0.001 * (production * production)
+
+
+def _derated_transition_model(external_energy_change, efficiency, **kwargs):
+    """Traceable custom battery transition, written branchlessly so it runs
+    identically on numpy floats (host) and jnp tracers (engine).
+
+    Bounds-safe: module bounds are always computed with the nominal
+    efficiency (reference battery_module.py:283-291), so a custom model must
+    retain less on charge (x0.9) and draw less on discharge (/1.1) or the
+    host's min-capacity clamp assertion can fire mid-episode.
+    """
+    is_charge = external_energy_change >= 0
+    return (
+        external_energy_change * (0.9 * efficiency) * is_charge
+        + external_energy_change / (1.1 * efficiency) * (1 - is_charge)
+    )
+
+
+def test_engine_callable_genset_cost():
+    """A traceable callable genset_cost compiles into the engine and stays
+    bitwise-equal to the host (reference genset_module.py:183-186)."""
+    rng = np.random.RandomState(21)
+    mods = [
+        M.GensetModule(running_min_production=5, running_max_production=50,
+                       genset_cost=_polynomial_fuel_cost, co2_per_unit=2.0,
+                       cost_per_unit_co2=0.1, start_up_time=1, wind_down_time=1),
+        M.BatteryModule(min_capacity=0, max_capacity=80, max_charge=30,
+                        max_discharge=30, efficiency=0.9, init_soc=0.5),
+        ("pv", M.RenewableModule(time_series=30 * rng.rand(80))),
+        M.LoadModule(time_series=50 * rng.rand(80)),
+    ]
+    mg = Microgrid(mods)
+    run_equivalence(mg, n_steps=40, seed=11)
+
+
+def test_engine_custom_battery_transition():
+    """A traceable battery_transition_model compiles into the engine and
+    stays bitwise-equal to the host (reference battery_module.py:149-189)."""
+    rng = np.random.RandomState(22)
+    mods = [
+        M.BatteryModule(min_capacity=0, max_capacity=100, max_charge=40,
+                        max_discharge=40, efficiency=0.9, init_soc=0.5,
+                        battery_cost_cycle=0.02,
+                        battery_transition_model=_derated_transition_model),
+        ("pv", M.RenewableModule(time_series=40 * rng.rand(80))),
+        M.LoadModule(time_series=50 * rng.rand(80)),
+        M.GridModule(max_import=100, max_export=100,
+                     time_series=rng.rand(80, 3)),
+    ]
+    mg = Microgrid(mods)
+    run_equivalence(mg, n_steps=40, seed=12)
+
+
+def test_engine_untraceable_callable_raises():
+    """A value-branching callable fails with guidance, not a cryptic trace."""
+    def bad_cost(production):
+        if production > 10:  # concretizes a tracer
+            return 0.5 * production
+        return 0.6 * production
+
+    rng = np.random.RandomState(23)
+    mods = [
+        M.GensetModule(running_min_production=5, running_max_production=50,
+                       genset_cost=bad_cost),
+        ("pv", M.RenewableModule(time_series=30 * rng.rand(60))),
+        M.LoadModule(time_series=50 * rng.rand(60)),
+    ]
+    mg = Microgrid(mods)
+    with pytest.raises(NotImplementedError, match="not.*traceable|host"):
+        compiled = CompiledMicrogrid(mg, dtype=np.float64)
+        state = compiled.initial_state(seed=0)
+        action = compiled.action_to_arrays(mg.sample_action())
+        compiled.step(state, action, normalized=False)
