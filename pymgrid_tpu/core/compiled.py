@@ -58,6 +58,20 @@ class CompiledMicrogrid:
     def step(self, state, action, normalized=False):
         return self._step_fns[normalized](self.params, state, action)
 
+    def save_state(self, path, state):
+        """Array checkpoint of an engine state (the engine analog of the
+        host layer's YAML dump, microgrid/microgrid.py:820-845)."""
+        from pymgrid_tpu.utils.checkpoint import save_state
+
+        save_state(path, state)
+
+    def restore_state(self, path):
+        """Restore a checkpoint; continuing from it reproduces the
+        uninterrupted trajectory bitwise."""
+        from pymgrid_tpu.utils.checkpoint import restore_state
+
+        return restore_state(path, template=self.reset(seed=0))
+
     # -------------------------------------------------------- action mapping
     def action_to_arrays(self, action_dict):
         """Host-style action dict -> engine action arrays."""

@@ -85,3 +85,18 @@ class BatchedDiscreteEnv:
 
         action_indices = jnp.asarray(action_indices, jnp.int32)
         return self._batch_step(self.params, states, action_indices)
+
+    def save_states(self, path, states):
+        """Checkpoint a batch state pytree (sharded arrays write
+        cooperatively on a multi-host mesh)."""
+        from pymgrid_tpu.utils.checkpoint import save_state
+
+        save_state(path, states)
+
+    def restore_states(self, path):
+        """Restore a checkpoint onto this env's sharding; resuming a rollout
+        from it is bitwise-identical to an uninterrupted run."""
+        from pymgrid_tpu.utils.checkpoint import restore_state
+
+        template = self.reset(seed=0)
+        return restore_state(path, template=template)
