@@ -13,6 +13,10 @@ def __getattr__(name):
         from pymgrid_tpu.algos.mpc_jax import BatchedMPC
 
         return BatchedMPC
+    if name == "BatchedSAA":
+        from pymgrid_tpu.algos.saa_jax import BatchedSAA
+
+        return BatchedSAA
     if name == "SampleAverageApproximation":
         from pymgrid_tpu.algos.saa import SampleAverageApproximation
 

@@ -84,3 +84,52 @@ def test_batched_mpc_rejects_genset():
 
     with pytest.raises(NotImplementedError):
         BatchedMPC(pymgrid_tpu.Microgrid.from_scenario(1))
+
+
+def test_batched_saa_degenerate_equals_mpc():
+    """With every sample equal to the real data, on-chip SAA reduces to
+    deterministic on-chip MPC (same LP, any percentile)."""
+    import warnings
+
+    from pymgrid_tpu import Microgrid
+    from pymgrid_tpu.algos.mpc_jax import BatchedMPC
+    from pymgrid_tpu.algos.saa_jax import BatchedSAA
+    from pymgrid_tpu.utils.data_generator import return_underlying_data
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        mg = Microgrid.from_scenario(0)
+        real = return_underlying_data(mg.to_nonmodular())
+        saa = BatchedSAA(mg, n_samples=3, optimal_percentile=1.0,
+                         samples=[real.copy() for _ in range(3)])
+        mpc = BatchedMPC(mg, batch_size=1)
+
+    r_saa, _ = saa.run(n_steps=10)
+    r_mpc, _ = mpc.run(10)
+    np.testing.assert_allclose(r_saa, r_mpc[:, 0], rtol=0, atol=1e-6)
+
+
+def test_batched_saa_stochastic():
+    """Sampled futures: runs, selects in-range samples, finite rewards."""
+    import warnings
+
+    from pymgrid_tpu import Microgrid
+    from pymgrid_tpu.algos.saa_jax import BatchedSAA
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        mg = Microgrid.from_scenario(0)
+        saa = BatchedSAA(mg, n_samples=4, optimal_percentile=0.5,
+                         preset_to_use=85)
+
+    state = saa.reset(seed=0)
+    for _ in range(5):
+        state, out, costs, chosen = saa.step(state)
+        assert costs.shape == (4,)
+        assert 0 <= int(chosen) < 4
+        assert np.isfinite(float(out.reward))
+        # median-of-4 rule: floor(4*0.5)=2 -> third-cheapest plan
+        assert float(costs[chosen]) == float(np.sort(np.asarray(costs))[2])
+
+    with pytest.raises(ValueError):
+        BatchedSAA(mg, optimal_percentile=1.5)
