@@ -181,11 +181,11 @@ class BatchedSAA:
         n_steps = max_steps if n_steps is None else min(n_steps, max_steps)
 
         state = self.reset(seed)
-        rewards = np.empty(n_steps)
+        rewards = []
         for t in range(n_steps):
             state, out, costs, chosen = self.step(state)
-            rewards[t] = float(out.reward)
+            rewards.append(out.reward)  # device arrays; fetched once at the end
             if verbose and t % max(1, n_steps // 20) == 0:
-                print(f"SAA step {t}/{n_steps} reward {rewards[t]:.2f} "
+                print(f"SAA step {t}/{n_steps} reward {float(out.reward):.2f} "
                       f"(chose sample {int(chosen)})")
-        return rewards, state
+        return np.asarray(rewards, dtype=np.float64), state

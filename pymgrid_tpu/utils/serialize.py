@@ -19,6 +19,7 @@ __all__ = [
     "add_numpy_pandas_constructors",
     "dump_data",
     "PathedArray",
+    "NDArraySubclass",
     "yaml_dump",
     "yaml_load",
 ]
@@ -45,7 +46,8 @@ def yaml_load(stream):
 
 
 class PathedArray(np.ndarray):
-    """ndarray subclass carrying a sidecar file path through the YAML dumper."""
+    """ndarray subclass carrying a sidecar file path through the YAML dumper
+    (the reference's ``NDArraySubclass``, ``utils/serialize.py:115-128``)."""
 
     def __new__(cls, input_array, path=None):
         obj = np.asarray(input_array).view(cls)
@@ -56,6 +58,10 @@ class PathedArray(np.ndarray):
         if obj is None:
             return
         self.path = getattr(obj, "path", None)
+
+
+# reference name for drop-in imports
+NDArraySubclass = PathedArray
 
 
 def dump_data(data_dict, stream, yaml_tag):
