@@ -25,9 +25,18 @@ def main():
                         help="use tight battery bounds in the MPC model")
     parser.add_argument("--scenarios", default=None)
     parser.add_argument("--out", default=REPO / "RESULTS.md", type=Path)
+    parser.add_argument("--saa", action="store_true",
+                        help="run on-chip BatchedSAA over the grid-only "
+                             "scenarios -> RESULTS_SAA.md (uses the TPU when "
+                             "available)")
+    parser.add_argument("--saa-samples", type=int, default=10)
+    parser.add_argument("--saa-percentile", type=float, default=0.85)
     args = parser.parse_args()
 
     import jax
+
+    if args.saa:
+        return run_saa(args)
 
     # run on CPU: full-year f64 scans are fast there and this avoids
     # contending for the (single, tunneled) TPU with other work
@@ -99,6 +108,62 @@ def main():
     ))
     args.out.write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
+
+
+def run_saa(args):
+    """Full-year on-chip stochastic MPC over the grid-only scenarios."""
+    import warnings
+
+    import numpy as np
+
+    warnings.filterwarnings("ignore")
+
+    from pymgrid_tpu import Microgrid
+    from pymgrid_tpu.algos import BatchedSAA
+
+    if args.scenarios:
+        scenarios = [int(s) for s in args.scenarios.split(",")]
+    else:
+        # LP-solvable on chip: grid-connected, no genset (MILP)
+        scenarios = []
+        for n in range(25):
+            mg = Microgrid.from_scenario(n)
+            kinds = {name for name, _ in mg.modules.iterdict()}
+            if "grid" in kinds and "genset" not in kinds:
+                scenarios.append(n)
+
+    pct = args.saa_percentile
+    rows = []
+    for n in scenarios:
+        np.random.seed(1000 + n)  # sampler RNG, reproducible per scenario
+        mg = Microgrid.from_scenario(n)
+        t0 = time.time()
+        saa = BatchedSAA(mg, n_samples=args.saa_samples, optimal_percentile=pct,
+                         preset_to_use=85, dtype=np.float32)
+        rewards, _ = saa.run()
+        cost, dt = float(-rewards.sum()), time.time() - t0
+        rows.append((n, cost, len(rewards), dt))
+        print(f"scenario {n}: SAA-{int(pct*100)} {cost:,.2f} "
+              f"({len(rewards)} steps, {dt:.1f}s)", flush=True)
+
+    out = REPO / "RESULTS_SAA.md"
+    lines = [
+        "# RESULTS — on-chip stochastic MPC (SAA) full-year costs",
+        "",
+        f"BatchedSAA, n_samples={args.saa_samples}, optimal percentile {pct},",
+        "preset-85 forecast noise, float32 interior-point LP on the TPU; all",
+        "sample LPs of a step solve as one batched program",
+        "(pymgrid_tpu/algos/saa_jax.py).  Grid-only scenarios (the genset",
+        "boolean makes the horizon problem a MILP; those run on the host SAA).",
+        "",
+        f"| scenario | SAA-{int(pct*100)} cost | steps | s |",
+        "|---|---|---|---|",
+    ]
+    for n, cost, steps, dt in rows:
+        lines.append(f"| {n} | {cost:,.2f} | {steps} | {dt:.1f} |")
+    lines.append(f"| **total** | **{sum(r[1] for r in rows):,.2f}** | | |")
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
