@@ -5,9 +5,11 @@ from pymgrid_tpu.forecast.forecaster import (
     OracleForecaster,
     UserDefinedForecaster,
     get_forecaster,
+    vectorize_scalar_forecaster,
 )
 
 __all__ = [
+    "vectorize_scalar_forecaster",
     "Forecaster",
     "GaussianNoiseForecaster",
     "NoForecaster",

@@ -5,7 +5,7 @@ from pymgrid_tpu.modules.grid import GridModule
 from pymgrid_tpu.modules.load import LoadModule
 from pymgrid_tpu.modules.renewable import RenewableModule
 from pymgrid_tpu.modules.unbalanced import UnbalancedEnergyModule
-from pymgrid_tpu.modules.container import Container, ModuleContainer, ModuleList
+from pymgrid_tpu.modules.container import Container, ModuleContainer, ModuleList, get_subcontainers
 
 __all__ = [
     "BaseMicrogridModule",
@@ -19,4 +19,5 @@ __all__ = [
     "Container",
     "ModuleContainer",
     "ModuleList",
+    "get_subcontainers",
 ]

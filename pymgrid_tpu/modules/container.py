@@ -17,7 +17,7 @@ from collections import UserDict, UserList
 
 from pymgrid_tpu.modules.base import BaseMicrogridModule
 
-__all__ = ["Container", "ModuleContainer", "ModuleList"]
+__all__ = ["Container", "ModuleContainer", "ModuleList", "get_subcontainers"]
 
 _SOURCE_SINK_KEYS = ("sources", "sinks", "source_and_sinks")
 _FFC_KEYS = ("fixed", "flex", "controllable")
@@ -243,6 +243,11 @@ def _build_subcontainers(modules):
         for ffc in _FFC_KEYS
         for ss in _SOURCE_SINK_KEYS
     }
+
+
+def get_subcontainers(modules):
+    """Public alias mirroring the reference (``module_container.py:355-413``)."""
+    return _build_subcontainers(modules)
 
 
 class ModuleContainer(Container):

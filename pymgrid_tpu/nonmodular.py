@@ -15,7 +15,19 @@ from copy import copy
 
 import numpy as np
 
-__all__ = ["NonModularMicrogrid", "Battery", "Genset", "Grid"]
+__all__ = ["NonModularMicrogrid", "Battery", "Genset", "Grid", "in_ipynb"]
+
+
+def in_ipynb():
+    """True when running inside an IPython notebook kernel (reference
+    ``non_modular_microgrid.py:31-40``); degrades to False without IPython."""
+    try:
+        from IPython import get_ipython
+
+        cfg = get_ipython().config
+        return cfg["IPKernelApp"]["parent_appname"] == "ipython-notebook"
+    except Exception:
+        return False
 
 DEFAULT_HORIZON = 24  # hours
 DEFAULT_TIMESTEP = 1  # hours

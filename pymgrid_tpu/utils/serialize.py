@@ -15,8 +15,10 @@ import yaml
 __all__ = [
     "PymgridLoader",
     "PymgridDumper",
+    "add_pymgrid_yaml_representers",
     "add_numpy_pandas_representers",
     "add_numpy_pandas_constructors",
+    "add_path_to_arr_like",
     "dump_data",
     "PathedArray",
     "NDArraySubclass",
@@ -90,6 +92,21 @@ def _annotate_paths(data_dict, path, yaml_tag):
             value.path = path / f'{yaml_tag.lstrip("!")}/{key}.csv.gz'
             data_dict[key] = value
     return data_dict
+
+
+# reference-name aliases for drop-in imports (utils/serialize.py:10-42)
+add_path_to_arr_like = _annotate_paths
+
+
+def add_pymgrid_yaml_representers():
+    """Register all pymgrid YAML tags (reference ``serialize.py:10-21``).
+
+    Importing the trajectory / reward-shaping subpackages registers their
+    ``yaml.YAMLObject`` tags as a side effect; array/frame representers are
+    registered explicitly.
+    """
+    add_numpy_pandas_representers()
+    from pymgrid_tpu.microgrid import reward_shaping, trajectory  # noqa: F401
 
 
 def _write_sidecar(data, path, stream_loc):
