@@ -14,16 +14,19 @@ __all__ = ["Microgrid", "DEFAULT_HORIZON", "PROJECT_PATH", "__version__"]
 
 def __getattr__(name):
     # Lazy imports keep `import pymgrid_tpu` light and avoid cycles.
+    # NOTE: use importlib, not `from pymgrid_tpu import X` — the latter
+    # re-enters this __getattr__ before the submodule import starts and
+    # recurses forever.
+    import importlib
+
     if name == "envs":
-        from pymgrid_tpu import envs
-
-        return envs
+        return importlib.import_module("pymgrid_tpu.envs")
     if name == "MicrogridGenerator":
-        from pymgrid_tpu.generator import MicrogridGenerator
-
-        return MicrogridGenerator
+        return importlib.import_module("pymgrid_tpu.generator").MicrogridGenerator
     if name == "NonModularMicrogrid":
-        from pymgrid_tpu.nonmodular import NonModularMicrogrid
-
-        return NonModularMicrogrid
+        return importlib.import_module("pymgrid_tpu.nonmodular").NonModularMicrogrid
+    if name == "add_pymgrid_yaml_representers":
+        return importlib.import_module(
+            "pymgrid_tpu.utils.serialize"
+        ).add_pymgrid_yaml_representers
     raise AttributeError(f"module 'pymgrid_tpu' has no attribute {name!r}")

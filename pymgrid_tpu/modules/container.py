@@ -1,16 +1,16 @@
-"""Module container: two-axis taxonomy storage and views.
+"""Two-axis module taxonomy: storage, lookup and aggregation views.
 
-Mirrors ``src/pymgrid/modules/module_container.py``: modules are stored in
-nine ``(fixed|flex|controllable) x (sources|sinks|source_and_sinks)``
-subcontainers, with midlevel views (``container.fixed.sources`` etc.), dict
-and attribute access by module name, auto-naming from ``module_type[0]``, and
-``get_attrs`` aggregation.
+Behavioral mirror of the reference's module container (see
+``src/pymgrid/modules/module_container.py``): every module lands in one of
+nine cells on the grid ``(fixed | flex | controllable) x (sources | sinks |
+source_and_sinks)``; mid-level views are reachable along either axis
+(``container.fixed.sources`` == ``container.sources.fixed``); modules are
+addressable by name, with auto-naming from ``module_type[0]``.
 
 Iteration order is load-bearing for simulation semantics: ``to_dict`` /
-``iterdict`` walk subcontainers fixed -> flex -> controllable, each
-sources -> sinks -> source_and_sinks, with insertion order within each
-subcontainer.  The compiled engine derives its static summation order from
-this same walk.
+``iterdict`` walk cells fixed -> flex -> controllable, each
+sources -> sinks -> source_and_sinks, insertion order within a cell.  The
+compiled engine derives its static summation order from this same walk.
 """
 import json
 from collections import UserDict, UserList
@@ -19,11 +19,13 @@ from pymgrid_tpu.modules.base import BaseMicrogridModule
 
 __all__ = ["Container", "ModuleContainer", "ModuleList", "get_subcontainers"]
 
-_SOURCE_SINK_KEYS = ("sources", "sinks", "source_and_sinks")
-_FFC_KEYS = ("fixed", "flex", "controllable")
+ROLES = ("fixed", "flex", "controllable")
+FLOWS = ("sources", "sinks", "source_and_sinks")
 
 
 class ModuleList(UserList):
+    """A list of same-named modules, unwrappable when it holds exactly one."""
+
     def item(self):
         if len(self) != 1:
             raise ValueError("Can only convert a ModuleList of length one to a scalar")
@@ -34,48 +36,49 @@ class ModuleList(UserList):
 
 
 class Container(UserDict):
-    """Dict of named module lists (or of nested containers) with attribute
-    access and flattening helpers."""
+    """Mapping of names to :class:`ModuleList`s (or to nested Containers),
+    with attribute-style access and flattening helpers."""
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self.dir_additions = self._compute_dir_additions()
+        self.dir_additions = self._collect_dir_additions()
 
-    def _compute_dir_additions(self):
-        additions = set(self.keys())
-        for x in self.values():
-            try:
-                additions.update(x.dir_additions)
-            except AttributeError:
-                pass
-        return additions
+    def _collect_dir_additions(self):
+        names = set(self.keys())
+        for child in self.values():
+            child_additions = getattr(child, "dir_additions", None)
+            if child_additions:
+                names |= child_additions
+        return names
 
     @property
     def containers(self):
         return self
 
     def to_list(self):
-        l = []
-        for _, raw in self.containers.items():
-            l.extend(raw.to_list())
-        return l
+        flat = []
+        for child in self.containers.values():
+            flat += child.to_list()
+        return flat
 
     def to_dict(self):
-        d = dict()
-        for k, raw in self.containers.items():
-            if isinstance(raw, ModuleList):
-                # bottom-level container: name -> module list (the reference
-                # crashes here, module_container.py:52; fixed deviation)
-                d[k] = raw
+        out = {}
+        for key, child in self.containers.items():
+            if isinstance(child, ModuleList):
+                # Bottom-level container: already name -> module list.  (The
+                # reference crashes on this path, module_container.py:52;
+                # documented fixed deviation.)
+                out[key] = child
             else:
-                d.update(raw)
-        return d
+                out.update(child)
+        return out
 
     def to_tuples(self):
-        l = []
-        for name, modules in self.iterdict():
-            l.extend(zip([name] * len(modules), modules))
-        return l
+        return [
+            (name, module)
+            for name, module_list in self.iterdict()
+            for module in module_list
+        ]
 
     def iterlist(self):
         yield from self.to_list()
@@ -87,77 +90,71 @@ class Container(UserDict):
         return list(self.to_dict().keys())
 
     def get_attrs(self, *attrs, unique=False, as_pandas=True):
-        """Gather module attributes; missing attributes become
-        ``NotImplemented`` (see reference ``module_container.py:97-195``)."""
+        """Gather named attributes across all modules.
+
+        Missing attributes appear as ``NotImplemented`` (matching the
+        reference semantics, ``module_container.py:97-195``).
+        """
         import pandas as pd
 
         if not attrs:
             raise ValueError("Missing attrs to get.")
 
-        d = dict()
-        for _, raw in self.containers.items():
-            d.update(
-                {
-                    name: [
-                        {attr: getattr(module, attr, NotImplemented) for attr in attrs}
-                        for module in module_list
-                    ]
-                    for name, module_list in raw.items()
-                }
-            )
+        gathered = {}
+        for child in self.containers.values():
+            for name, module_list in child.items():
+                gathered[name] = [
+                    {a: getattr(m, a, NotImplemented) for a in attrs}
+                    for m in module_list
+                ]
 
         if not (unique or as_pandas):
-            return d
+            return gathered
 
-        d_df = pd.DataFrame(
+        frame = pd.DataFrame(
             {
-                (name, num): subdict
-                for name, module_list in d.items()
-                for num, subdict in enumerate(module_list)
+                (name, idx): row
+                for name, rows in gathered.items()
+                for idx, row in enumerate(rows)
             }
         ).T
 
-        bad_keys, uniques, nonuniques = [], {}, []
-        for k, v in d_df.items():
-            not_notimplemented = v[v != NotImplemented]
-            unique_items = not_notimplemented.drop_duplicates().values
-            try:
-                unique_item = unique_items.item()
-            except ValueError:
-                if len(unique_items) == 0:
-                    bad_keys.append(k)
-                else:
-                    nonuniques.append(k)
+        empty_attrs, single_valued, multi_valued = [], {}, []
+        for attr, col in frame.items():
+            defined = col[col != NotImplemented].drop_duplicates().values
+            if len(defined) == 1:
+                single_valued[attr] = defined.item()
+            elif len(defined) == 0:
+                empty_attrs.append(attr)
             else:
-                uniques[k] = unique_item
+                multi_valued.append(attr)
 
-        if bad_keys:
-            raise AttributeError(f"No values found for key(s) {bad_keys}")
+        if empty_attrs:
+            raise AttributeError(f"No values found for key(s) {empty_attrs}")
 
         if unique:
-            if nonuniques:
+            if multi_valued:
                 raise ValueError(
-                    f"Attribute(s) {nonuniques} have non-unique values, cannot "
+                    f"Attribute(s) {multi_valued} have non-unique values, cannot "
                     f"return single unique value."
                 )
             if not as_pandas:
-                return uniques
-            return pd.Series(uniques, dtype=None if len(uniques) else float)
+                return single_valued
+            return pd.Series(
+                single_valued, dtype=None if len(single_valued) else float
+            )
 
-        if as_pandas:
-            return d_df
-        return d
+        return frame if as_pandas else gathered
 
     def __getitem__(self, item):
         if item in ("data", "module_dict"):
             raise KeyError(item)
-        try:
+        if item in self.data:
             return self.data[item]
-        except KeyError:
-            try:
-                return self.to_dict()[item]
-            except KeyError:
-                raise KeyError(item)
+        flattened = self.to_dict()
+        if item in flattened:
+            return flattened[item]
+        raise KeyError(item)
 
     def __getattr__(self, item):
         if item == "data" or item.startswith("__") or item not in dir(self):
@@ -171,7 +168,7 @@ class Container(UserDict):
         return item in self.data.keys() or item in self.dir_additions
 
     def __len__(self):
-        return sum(len(v) for _, v in self.containers.items())
+        return sum(len(child) for child in self.containers.values())
 
     def __dir__(self):
         return sorted(set(super().__dir__()) | self.dir_additions)
@@ -183,92 +180,104 @@ class Container(UserDict):
             return super().__repr__()
 
 
-def _build_subcontainers(modules):
-    """Assign modules to the nine taxonomy cells and name them.
+def _normalized_entries(modules):
+    """Yield ``(explicit_name_or_None, module)`` for every entry.
 
-    Auto-names come from ``module_type[0]``; each module gets
-    ``module.name = (name, index)`` with per-name indices; a name used by two
-    different taxonomy cells raises (reference ``module_container.py:355-413``).
+    Accepts bare modules, ``(name, module)`` pairs, and (for convenience —
+    beyond the reference) lists/ModuleLists of modules.
     """
-    by_ffc = {ffc: {k: dict() for k in _SOURCE_SINK_KEYS} for ffc in _FFC_KEYS}
-    module_names = dict()
-
-    for module in modules:
-        try:  # (name, module) tuple
-            module_name, module = module
-            ffc = module.__class__.module_type[1]
-        except TypeError:
-            try:
-                module_name, ffc = module.__class__.module_type
-            except TypeError:
-                raise NotImplementedError(
-                    f"Must define the class attribute module_type for class "
-                    f"{module.__class__.__name__}"
-                )
-
-        assert isinstance(module, BaseMicrogridModule), (
-            "Module must inherit from BaseMicrogridModule."
-        )
-        assert module.is_sink or module.is_source, "Module must be sink or source (or both)."
-
-        source_sink = (
-            "source_and_sinks"
-            if module.is_sink and module.is_source
-            else "sources" if module.is_source else "sinks"
-        )
-
-        if ffc not in by_ffc:
-            raise TypeError(
-                f"Cannot parse fixed_flex_controllable from module type "
-                f"{module.__class__.module_type}"
-            )
-
-        existing = module_names.get(module_name)
-        if existing is not None and existing != (ffc, source_sink):
-            raise NameError(
-                f"Attempted to add module {module_name} of type {(ffc, source_sink)}, "
-                f"but there is an identically named module of type {existing}."
-            )
-        module_names[module_name] = (ffc, source_sink)
-
-        cell = by_ffc[ffc][source_sink]
-        if module_name in cell:
-            cell[module_name].append(module)
+    for entry in modules:
+        if isinstance(entry, BaseMicrogridModule):
+            yield None, entry
+        elif isinstance(entry, (list, tuple, ModuleList)):
+            if (
+                len(entry) == 2
+                and isinstance(entry[0], str)
+                and isinstance(entry[1], BaseMicrogridModule)
+            ):
+                yield entry
+            else:
+                for module in entry:
+                    yield None, module
         else:
-            cell[module_name] = ModuleList([module])
-        module.name = (module_name, len(cell[module_name]) - 1)
+            yield None, entry
 
-    return {
-        (ffc, ss): Container(by_ffc[ffc][ss])
-        for ffc in _FFC_KEYS
-        for ss in _SOURCE_SINK_KEYS
-    }
+
+def _classify(module):
+    """Return ``(auto_name, role, flow)`` for a module."""
+    module_type = module.__class__.module_type
+    try:
+        auto_name, role = module_type
+    except TypeError:
+        raise NotImplementedError(
+            f"Must define the class attribute module_type for class "
+            f"{module.__class__.__name__}"
+        )
+
+    if not isinstance(module, BaseMicrogridModule):
+        raise AssertionError("Module must inherit from BaseMicrogridModule.")
+    if not (module.is_sink or module.is_source):
+        raise AssertionError("Module must be sink or source (or both).")
+
+    if module.is_source and module.is_sink:
+        flow = "source_and_sinks"
+    elif module.is_source:
+        flow = "sources"
+    else:
+        flow = "sinks"
+
+    if role not in ROLES:
+        raise TypeError(
+            f"Cannot parse fixed_flex_controllable from module type {module_type}"
+        )
+    return auto_name, role, flow
 
 
 def get_subcontainers(modules):
-    """Public alias mirroring the reference (``module_container.py:355-413``)."""
-    return _build_subcontainers(modules)
+    """Place modules into the nine taxonomy cells and assign their names.
+
+    Returns ``{(role, flow): Container}`` over all nine cells.  Each module
+    receives ``module.name = (name, index)``; reusing a name across two
+    different cells raises.  Mirrors reference ``module_container.py:355-413``.
+    """
+    cells = {(role, flow): {} for role in ROLES for flow in FLOWS}
+    placements = {}
+
+    for explicit_name, module in _normalized_entries(modules):
+        auto_name, role, flow = _classify(module)
+        name = explicit_name if explicit_name is not None else auto_name
+
+        prior = placements.get(name)
+        if prior is not None and prior != (role, flow):
+            raise NameError(
+                f"Attempted to add module {name} of type {(role, flow)}, "
+                f"but there is an identically named module of type {prior}."
+            )
+        placements[name] = (role, flow)
+
+        bucket = cells[role, flow].setdefault(name, ModuleList())
+        bucket.append(module)
+        module.name = (name, len(bucket) - 1)
+
+    return {key: Container(cell) for key, cell in cells.items()}
 
 
 class ModuleContainer(Container):
     """Top-level container over all of a microgrid's modules."""
 
     def __init__(self, modules):
-        self._containers = _build_subcontainers(modules)
-        midlevels = self._set_midlevel()
+        self._containers = get_subcontainers(modules)
+
+        views = {}
+        for (role, flow), cell in self._containers.items():
+            views.setdefault(role, {})[flow] = cell
+            views.setdefault(flow, {})[role] = cell
+        midlevels = {axis: Container(**sub) for axis, sub in views.items()}
+
         self._types_by_name = {
-            name: container_type
-            for container_type, container in self._containers.items()
-            for name in container
+            name: key for key, cell in self._containers.items() for name in cell
         }
         super().__init__(**midlevels)
-
-    def _set_midlevel(self):
-        midlevels = dict()
-        for (ffc, source_sink), subcontainer in self._containers.items():
-            midlevels.setdefault(ffc, {})[source_sink] = subcontainer
-            midlevels.setdefault(source_sink, {})[ffc] = subcontainer
-        return {k: Container(**v) for k, v in midlevels.items()}
 
     def names(self):
         return list(self._types_by_name.keys())

@@ -79,6 +79,7 @@ SURFACE = {
         "ForecastArgSet",
         "ForecastArgs",
     ],
+    "pymgrid_tpu.utils": ["add_pymgrid_yaml_representers"],
     "pymgrid_tpu.utils.logger": ["ModularLogger"],
     "pymgrid_tpu.utils.ray": ["ray_decorator"],
     "pymgrid_tpu.utils.serialize": [
