@@ -1,12 +1,14 @@
 """Base microgrid module classes (host layer).
 
-API mirror of the reference's module base classes
+Behavioral mirror of the reference's module base classes
 (``src/pymgrid/modules/base/base_module.py:17`` and
-``modules/base/timeseries/base_timeseries_module.py:8``), re-implemented on
-top of :mod:`pymgrid_tpu.core.physics`.  These classes hold per-module scalar
-state in numpy float64 and implement the exact step semantics of the
-reference; the compiled engine (:mod:`pymgrid_tpu.core`) extracts their
-parameters into struct-of-arrays pytrees for batched TPU execution.
+``modules/base/timeseries/base_timeseries_module.py:8``), built around a
+different decomposition: energy dispatch goes through a single bounded
+exchange helper, observation bounds are tiled per horizon step, and the
+YAML state contract (``_current_step`` + state-dict keys) is what pins the
+attribute names.  Per-module scalar state is numpy float64; the compiled
+engine (:mod:`pymgrid_tpu.core`) extracts parameters into struct-of-arrays
+pytrees for batched TPU execution.
 """
 import inspect
 from warnings import warn
@@ -14,7 +16,6 @@ from warnings import warn
 import numpy as np
 import yaml
 
-from pymgrid_tpu.core import physics
 from pymgrid_tpu.utils.logger import ModularLogger
 from pymgrid_tpu.utils.space import ModuleSpace
 from pymgrid_tpu.utils.serialize import (
@@ -31,6 +32,15 @@ __all__ = ["BaseMicrogridModule", "BaseTimeSeriesMicrogridModule"]
 
 DEFAULT_HORIZON = 23
 """Default forecast horizon in steps (reference: ``microgrid/__init__.py:1``)."""
+
+
+def _bounds_to_space(lo, hi):
+    """Build a ModuleSpace from scalar-or-array bounds."""
+    if not isinstance(lo, np.ndarray):
+        lo = np.array([lo])
+    if not isinstance(hi, np.ndarray):
+        hi = np.array([hi])
+    return ModuleSpace(unnormalized_low=lo, unnormalized_high=hi)
 
 
 class BaseMicrogridModule(yaml.YAMLObject):
@@ -66,91 +76,98 @@ class BaseMicrogridModule(yaml.YAMLObject):
         self._logger = ModularLogger()
         self.name = (None, None)  # assigned by the module container
 
-    # ------------------------------------------------------------------ spaces
+    # -------------------------------------------------------------- spaces
     def _get_action_spaces(self):
-        low = self.min_act if isinstance(self.min_act, np.ndarray) else np.array([self.min_act])
-        high = self.max_act if isinstance(self.max_act, np.ndarray) else np.array([self.max_act])
-        return ModuleSpace(unnormalized_low=low, unnormalized_high=high)
+        return _bounds_to_space(self.min_act, self.max_act)
 
     def _get_observation_spaces(self):
-        low = self.min_obs if isinstance(self.min_obs, np.ndarray) else np.array([self.min_obs])
-        high = self.max_obs if isinstance(self.max_obs, np.ndarray) else np.array([self.max_obs])
-        return ModuleSpace(unnormalized_low=low, unnormalized_high=high)
+        return _bounds_to_space(self.min_obs, self.max_obs)
 
-    # ------------------------------------------------------------------ stepping
+    # ------------------------------------------------------------ stepping
     def reset(self):
         """Rewind to the initial step, flush the log, return normalized obs."""
         self._update_step(reset=True)
         self._logger.flush()
         return self.to_normalized(self.state, obs=True)
 
+    def _scalar_energy(self, action):
+        """Reduce an action to its scalar energy component.
+
+        Accepts indexables (row ``_energy_pos``), plain numbers, and empty
+        arrays (treated as a zero request); anything else is rejected.
+        """
+        try:
+            return action[self._energy_pos]
+        except (IndexError, TypeError):
+            pass
+        if isinstance(action, (float, int)):
+            return action
+        shape = getattr(action, "shape", None)
+        if shape is not None and np.prod(shape) == 0:
+            return 0.0
+        raise ValueError(f"Bad action {action}")
+
     def step(self, action, normalized=True):
         """Advance the module one tick with an energy request.
 
-        Returns the 4-tuple ``(normalized_obs, reward, done, info)``;
-        ``info`` carries ``provided_energy`` or ``absorbed_energy``
+        Returns the gym-style 4-tuple ``(normalized_obs, reward, done, info)``
+        where ``info`` carries ``provided_energy`` or ``absorbed_energy``
         (``base_module.py:95-159``).
         """
-        denormalized_action = (
-            self._action_space.denormalize(action) if normalized else action
-        )
+        if normalized:
+            action = self._action_space.denormalize(action)
+        energy = self._scalar_energy(action)
 
-        try:
-            denormalized_action = denormalized_action[self._energy_pos]
-        except (IndexError, TypeError):
-            if not isinstance(denormalized_action, (float, int)):
-                try:
-                    flat_dim = np.prod(denormalized_action.shape)
-                    assert flat_dim == 0
-                except (AttributeError, AssertionError):
-                    raise ValueError(f"Bad action {denormalized_action}")
-                else:
-                    denormalized_action = 0.0
-
-        state_dict = self.state_dict()
-        reward, done, info = self._unnormalized_step(denormalized_action)
-        self._log(state_dict, reward=reward, **info)
+        pre_step_state = self.state_dict()
+        reward, done, info = self._unnormalized_step(energy)
+        self._log(pre_step_state, reward=reward, **info)
         self._update_step()
 
-        obs = self.to_normalized(self.state, obs=True)
-        return obs, reward, done, info
+        return self.to_normalized(self.state, obs=True), reward, done, info
 
-    def _unnormalized_step(self, unnormalized_action):
-        if unnormalized_action > 0:
-            return self.as_source(unnormalized_action)
-        elif unnormalized_action < 0:
-            return self.as_sink(-1.0 * unnormalized_action)
+    def _unnormalized_step(self, energy):
+        if energy > 0:
+            return self.as_source(energy)
+        if energy < 0:
+            return self.as_sink(-1.0 * energy)
+        # zero (and non-comparable) requests route to the source path first
         if self.is_source:
-            return self.as_source(unnormalized_action)
+            return self.as_source(energy)
         assert self.is_sink
-        return self.as_sink(-1.0 * unnormalized_action)
+        return self.as_sink(-1.0 * energy)
+
+    def _bounded_exchange(self, request, lo, hi, direction):
+        """Clamp an energy request to ``[lo, hi]``, raising first when
+        ``raise_errors`` is set.  ``direction`` is 'source' or 'sink'."""
+        as_source = direction == "source"
+        if request > hi:
+            if self.raise_errors:
+                self._raise_error(request, hi, as_source=as_source, as_sink=not as_source)
+            return hi
+        if request < lo:
+            if self.raise_errors:
+                self._raise_error(
+                    request, lo, as_source=as_source, as_sink=not as_source, lower_bound=True
+                )
+            return lo
+        return request
 
     def as_source(self, energy_demand):
         """Provide ``energy_demand`` to the microgrid, clipped to the module's
         current production bounds unless ``raise_errors``."""
         assert energy_demand >= 0
         assert self.is_source, (
-            f"step() was called with positive energy (source) for module {self} "
-            f"but module is not a source and can only be called with negative energy."
+            f"module {self} was stepped with positive energy (as a source) but "
+            f"it is not a source; only negative energy requests are valid."
         )
 
         if self.module_type[-1] == "fixed":
             return self.update(None, as_source=True)
 
-        if energy_demand > self.max_production:
-            if self.raise_errors:
-                self._raise_error(energy_demand, self.max_production, as_source=True)
-            provided_energy = self.max_production
-        elif energy_demand < self.min_production:
-            if self.raise_errors:
-                self._raise_error(
-                    energy_demand, self.min_production, as_source=True, lower_bound=True
-                )
-            provided_energy = self.min_production
-        else:
-            provided_energy = energy_demand
-
-        return self.update(provided_energy, as_source=True)
+        delivered = self._bounded_exchange(
+            energy_demand, self.min_production, self.max_production, "source"
+        )
+        return self.update(delivered, as_source=True)
 
     def as_sink(self, energy_excess):
         """Absorb ``energy_excess`` from the microgrid, clipped to
@@ -160,118 +177,60 @@ class BaseMicrogridModule(yaml.YAMLObject):
         if self.module_type[-1] == "fixed":
             return self.update(None, as_sink=True)
 
-        if energy_excess > self.max_consumption:
-            if self.raise_errors:
-                self._raise_error(energy_excess, self.max_consumption, as_sink=True)
-            absorbed_energy = self.max_consumption
-        else:
-            absorbed_energy = energy_excess
-
-        assert absorbed_energy >= 0
-        return self.update(absorbed_energy, as_sink=True)
+        absorbed = self._bounded_exchange(energy_excess, 0.0, self.max_consumption, "sink")
+        assert absorbed >= 0
+        return self.update(absorbed, as_sink=True)
 
     def _raise_error(self, ask_value, available_value, as_source=False, as_sink=False, lower_bound=False):
         assert as_source + as_sink == 1
-        name = self.__class__.__name__
-        ask_v, available_v = round(ask_value, 2), round(available_value, 2)
-        if as_source:
-            if lower_bound:
-                raise ValueError(
-                    f"Module {name} unable to supply requested value {ask_v} as a "
-                    f"source. Must supply at least: {available_v}."
-                )
-            raise ValueError(
-                f"Module {name} unable to supply requested value {ask_v} as a "
-                f"source. Max currently available: {available_v}."
-            )
-        raise ValueError(
-            f"Module {name} unable to absorb requested value {ask_v} as a sink. "
-            f"Max currently capable of absorbing: {available_v}."
-        )
+        asked, have = round(ask_value, 2), round(available_value, 2)
+        cls_name = self.__class__.__name__
+        if as_sink:
+            detail = f"absorb {asked} as a sink; it can currently absorb at most {have}"
+        elif lower_bound:
+            detail = f"provide {asked} as a source; it must provide at least {have}"
+        else:
+            detail = f"provide {asked} as a source; it can currently provide at most {have}"
+        raise ValueError(f"Module {cls_name} cannot {detail}.")
 
     def update(self, external_energy_change, as_source=False, as_sink=False):
         """Apply the (clipped) energy exchange; return (reward, done, info)."""
         raise NotImplementedError
 
-    def _log(self, state_dict_pre_step, provided_energy=None, absorbed_energy=None, **info):
-        _info = info.copy()
-        if self.provided_energy_name is not None:
-            _info[self.provided_energy_name] = (
-                provided_energy if provided_energy is not None else 0.0
-            )
-        else:
-            assert provided_energy is None, (
-                "Cannot log provided_energy with NoneType provided_energy_name."
-            )
-        if self.absorbed_energy_name is not None:
-            _info[self.absorbed_energy_name] = (
-                absorbed_energy if absorbed_energy is not None else 0.0
-            )
-        else:
-            assert absorbed_energy is None, (
-                "Cannot log absorbed_energy with NoneType absorbed_energy_name."
-            )
-        _info.update(state_dict_pre_step)
-        self._logger.log(**_info)
-
     def _update_step(self, reset=False):
-        if reset:
-            self._current_step = self.initial_step
-        else:
-            self._current_step += 1
+        self._current_step = self.initial_step if reset else self._current_step + 1
 
     def sample_action(self, strict_bound=False):
         """Sample a normalized action uniformly; with ``strict_bound``, bound
         it by current instantaneous production/consumption limits."""
-        min_bound, max_bound = 0, 1
+        lo, hi = 0, 1
         if strict_bound:
             if self.is_sink:
-                min_bound = self._action_space.normalize(-1 * self.max_consumption)
-                if np.isnan(min_bound):
-                    min_bound = 0
+                lo = self._action_space.normalize(-1 * self.max_consumption)
+                if np.isnan(lo):
+                    lo = 0
             if self.is_source:
-                max_bound = self._action_space.normalize(self.max_production)
-                if np.isnan(max_bound):
-                    max_bound = 0
-        return np.random.rand() * (max_bound - min_bound) + min_bound
+                hi = self._action_space.normalize(self.max_production)
+                if np.isnan(hi):
+                    hi = 0
+        return np.random.rand() * (hi - lo) + lo
 
-    # ------------------------------------------------------------------ state
-    def to_normalized(self, value, act=False, obs=False):
-        assert act + obs == 1
-        space = self._action_space if act else self._observation_space
-        return space.normalize(value)
-
-    def from_normalized(self, value, act=False, obs=False):
-        assert act + obs == 1
-        space = self._action_space if act else self._observation_space
-        return space.denormalize(value)
-
-    def state_dict(self, normalized=False):
-        if normalized:
-            return dict(
-                zip(
-                    self.state_dict().keys(),
-                    np.atleast_1d(self._observation_space.normalize(self.state)),
+    # ------------------------------------------------------------- logging
+    def _log(self, state_dict_pre_step, provided_energy=None, absorbed_energy=None, **info):
+        row = info.copy()
+        for key_name, value in (
+            (self.provided_energy_name, provided_energy),
+            (self.absorbed_energy_name, absorbed_energy),
+        ):
+            if key_name is not None:
+                row[key_name] = value if value is not None else 0.0
+            else:
+                assert value is None, (
+                    "cannot log an energy value when its log key name is None"
                 )
-            )
-        return self._state_dict()
+        row.update(state_dict_pre_step)
+        self._logger.log(**row)
 
-    def _state_dict(self):
-        raise NotImplementedError
-
-    @property
-    def state(self):
-        return np.array([*self.state_dict().values()])
-
-    @property
-    def current_step(self):
-        return self._current_step
-
-    @current_step.setter
-    def current_step(self, value):
-        self._current_step = value
-
-    # ------------------------------------------------------------------ logging
     def log_dict(self):
         return self._logger.to_dict()
 
@@ -295,7 +254,38 @@ class BaseMicrogridModule(yaml.YAMLObject):
     def logger_last(self):
         return {k: v[-1] for k, v in self._logger}
 
-    # ------------------------------------------------------------------ bounds
+    # --------------------------------------------------------------- state
+    def to_normalized(self, value, act=False, obs=False):
+        assert act + obs == 1
+        return (self._action_space if act else self._observation_space).normalize(value)
+
+    def from_normalized(self, value, act=False, obs=False):
+        assert act + obs == 1
+        return (self._action_space if act else self._observation_space).denormalize(value)
+
+    def state_dict(self, normalized=False):
+        raw = self._state_dict()
+        if not normalized:
+            return raw
+        normalized_values = np.atleast_1d(self._observation_space.normalize(self.state))
+        return dict(zip(raw.keys(), normalized_values))
+
+    def _state_dict(self):
+        raise NotImplementedError
+
+    @property
+    def state(self):
+        return np.array([*self.state_dict().values()])
+
+    @property
+    def current_step(self):
+        return self._current_step
+
+    @current_step.setter
+    def current_step(self, value):
+        self._current_step = value
+
+    # -------------------------------------------------------------- bounds
     @property
     def min_obs(self):
         raise NotImplementedError
@@ -352,7 +342,7 @@ class BaseMicrogridModule(yaml.YAMLObject):
     def is_sink(self):
         return False
 
-    # ------------------------------------------------------------------ yaml
+    # ---------------------------------------------------------------- yaml
     def dump(self, stream=None):
         """Serialize to YAML; sidecar ``.csv.gz`` files are used when dumping
         to a named file stream (see :mod:`pymgrid_tpu.utils.serialize`)."""
@@ -379,13 +369,13 @@ class BaseMicrogridModule(yaml.YAMLObject):
         return instance.deserialize(mapping["state"])
 
     def serialize(self, dumper_stream):
-        data = {
+        payload = {
             "name": self.name,
             "cls_params": self._serialize_cls_params(),
             "state": self._serialize_state_attributes(),
             **self._logger.serialize("log"),
         }
-        return dump_data(data, dumper_stream, self.yaml_tag)
+        return dump_data(payload, dumper_stream, self.yaml_tag)
 
     def serializable_state_attributes(self):
         return ["_current_step", *self.state_dict().keys()]
@@ -394,73 +384,71 @@ class BaseMicrogridModule(yaml.YAMLObject):
         return {attr: getattr(self, attr) for attr in self.serializable_state_attributes()}
 
     def _serialize_cls_params(self):
-        serialized = {}
-        for p_name in inspect.signature(self.__init__).parameters:
-            try:
-                serialized[p_name] = getattr(self, p_name)
-            except AttributeError:
+        out = {}
+        for param in inspect.signature(self.__init__).parameters:
+            if not hasattr(self, param):
                 raise AttributeError(
                     f"Module {self.__class__.__name__} must have attribute/property "
-                    f"'{p_name}' corresponding to class parameter of the same name."
+                    f"'{param}' corresponding to class parameter of the same name."
                 )
-        return serialized
+            out[param] = getattr(self, param)
+        return out
 
     @classmethod
     def deserialize_instance(cls, param_dict):
-        param_dict = param_dict.copy()
-        cls_kwargs, missing, defaults = {}, [], []
-        for p_name, p_value in inspect.signature(cls).parameters.items():
-            try:
-                cls_kwargs[p_name] = param_dict.pop(p_name)
-            except KeyError:
-                if p_value.default is p_value.empty:
-                    missing.append(p_name)
-                else:
-                    cls_kwargs[p_name] = p_value.default
-                    defaults.append(p_name)
-        if defaults:
-            warn(f"Missing parameter values {defaults} for {cls}. Using available default values.")
-        if missing:
+        remaining = param_dict.copy()
+        kwargs, absent, defaulted = {}, [], []
+        for name, spec in inspect.signature(cls).parameters.items():
+            if name in remaining:
+                kwargs[name] = remaining.pop(name)
+            elif spec.default is not spec.empty:
+                kwargs[name] = spec.default
+                defaulted.append(name)
+            else:
+                absent.append(name)
+        if defaulted:
+            warn(f"Missing parameter values {defaulted} for {cls}. Using available default values.")
+        if absent:
             raise KeyError(
-                f"Missing parameter values {missing} for {cls} with no default values available."
+                f"Missing parameter values {absent} for {cls} with no default values available."
             )
-        return cls(**cls_kwargs)
+        return cls(**kwargs)
 
     def deserialize(self, serialized_dict):
-        serialized_dict = serialized_dict.copy()
-        for attr_name in self.serializable_state_attributes():
-            if not hasattr(self, attr_name):
+        remaining = serialized_dict.copy()
+        for attr in self.serializable_state_attributes():
+            if not hasattr(self, attr):
                 raise ValueError(
-                    f"Key {attr_name} is not an attribute of module {self} and cannot be set."
+                    f"Key {attr} is not an attribute of module {self} and cannot be set."
                 )
-            try:
-                setattr(self, attr_name, serialized_dict.pop(attr_name))
-            except KeyError:
-                raise KeyError(f"Missing key {attr_name} in deserialized dict.")
-        if serialized_dict:
-            warn(f"Unused keys in serialized_dict: {list(serialized_dict.keys())}")
+            if attr not in remaining:
+                raise KeyError(f"Missing key {attr} in deserialized dict.")
+            setattr(self, attr, remaining.pop(attr))
+        if remaining:
+            warn(f"Unused keys in serialized_dict: {list(remaining.keys())}")
         return self
 
     def __eq__(self, other):
         if type(self) != type(other):
             return NotImplemented
-        diff = [
-            (k1, v1, v2)
-            for (k1, v1), (k2, v2) in zip(self.__dict__.items(), other.__dict__.items())
-            if (
-                (hasattr(v1, "any") and not np.allclose(v1, v2))
-                or (not hasattr(v1, "any") and v1 != v2)
-            )
-        ]
-        return len(diff) == 0
+        # positional zip over both __dict__s, allclose for array-likes
+        # (mirrors reference base_module.py:959-966)
+        for (_, mine), (_, theirs) in zip(self.__dict__.items(), other.__dict__.items()):
+            if hasattr(mine, "any"):
+                if not np.allclose(mine, theirs):
+                    return False
+            elif mine != theirs:
+                return False
+        return True
 
     def __repr__(self):
-        params = {p: getattr(self, p, None) for p in inspect.signature(self.__init__).parameters}
-        param_repr = ", ".join(
-            f"{p}={type(v) if hasattr(v, '__len__') and not isinstance(v, str) else v}"
-            for p, v in params.items()
-        )
-        return f"{self.__class__.__name__}({param_repr})"
+        parts = []
+        for param in inspect.signature(self.__init__).parameters:
+            value = getattr(self, param, None)
+            if hasattr(value, "__len__") and not isinstance(value, str):
+                value = type(value)
+            parts.append(f"{param}={value}")
+        return f"{self.__class__.__name__}({', '.join(parts)})"
 
 
 class BaseTimeSeriesMicrogridModule(BaseMicrogridModule):
@@ -515,20 +503,20 @@ class BaseTimeSeriesMicrogridModule(BaseMicrogridModule):
 
         self._current_forecast = self.forecast()
 
+    # ----------------------------------------------------------- ts set-up
     def _set_time_series(self, time_series):
-        _time_series = np.array(time_series, dtype=np.float64)
-        try:
-            shape = (-1, _time_series.shape[1])
-        except IndexError:
-            shape = (-1, 1)
-        _time_series = _time_series.reshape(shape)
-        assert len(_time_series) == len(time_series)
-        return self._sign_check(_time_series)
+        arr = np.array(time_series, dtype=np.float64)
+        n_cols = arr.shape[1] if arr.ndim > 1 else 1
+        arr = arr.reshape((-1, n_cols))
+        assert len(arr) == len(time_series)
+        return self._sign_check(arr)
 
     def _sign_check(self, time_series):
         if self.is_source and self.is_sink:
             return time_series
-        if not ((np.sign(time_series) <= 0).all() or (np.sign(time_series) >= 0).all()):
+        has_pos = (np.sign(time_series) > 0).any()
+        has_neg = (np.sign(time_series) < 0).any()
+        if has_pos and has_neg:
             raise ValueError(
                 "time_series cannot contain both positive and negative values "
                 "unless it is both a source and a sink."
@@ -536,12 +524,13 @@ class BaseTimeSeriesMicrogridModule(BaseMicrogridModule):
         return np.abs(time_series) if self.is_source else -np.abs(time_series)
 
     def _get_bounds(self):
-        _min, _max = np.min(self._time_series), np.max(self._time_series)
-        if _min > 0:
-            _min = 0
-        elif _max < 0:
-            _max = 0
-        return _min, _max, _min, _max
+        lo, hi = np.min(self._time_series), np.max(self._time_series)
+        # bounds straddle zero: clamp whichever side doesn't reach it
+        if lo > 0:
+            lo = 0
+        elif hi < 0:
+            hi = 0
+        return lo, hi, lo, hi
 
     def _set_state_dict_keys(self):
         return {
@@ -553,6 +542,7 @@ class BaseTimeSeriesMicrogridModule(BaseMicrogridModule):
             ],
         }
 
+    # ------------------------------------------------------------ stepping
     def _update_step(self, reset=False):
         super()._update_step(reset=reset)
         self._current_forecast = self.forecast()
@@ -560,18 +550,15 @@ class BaseTimeSeriesMicrogridModule(BaseMicrogridModule):
     def forecast(self):
         """Forecast window starting one step ahead (or None without a
         forecaster); off-end windows are midpoint-padded by the forecaster."""
-        val_c_n = self.time_series[
-            1 + self.current_step : 1 + self.current_step + self.forecast_horizon, :
-        ]
+        start = 1 + self.current_step
+        future = self.time_series[start : start + self.forecast_horizon, :]
         try:
-            val_c = self.time_series[self.current_step, :]
+            present = self.time_series[self.current_step, :]
         except IndexError:
-            forecast = self._forecaster.full_pad(
+            return self._forecaster.full_pad(
                 self.time_series.shape, self._forecast_horizon
             )
-        else:
-            forecast = self._forecaster(val_c=val_c, val_c_n=val_c_n, n=self.forecast_horizon)
-        return None if forecast is None else forecast
+        return self._forecaster(val_c=present, val_c_n=future, n=self.forecast_horizon)
 
     def _done(self):
         return self._current_step >= self._final_step - 1
@@ -583,6 +570,7 @@ class BaseTimeSeriesMicrogridModule(BaseMicrogridModule):
         except IndexError:
             return self._forecaster.full_pad(self.time_series.shape, 1).reshape(-1)
 
+    # ---------------------------------------------------------- properties
     @property
     def time_series(self):
         return self._time_series
@@ -596,15 +584,12 @@ class BaseTimeSeriesMicrogridModule(BaseMicrogridModule):
 
     @property
     def min_obs(self):
-        return np.repeat(
-            np.array(self._min_obs).reshape((-1, 1)), 1 + self._forecast_horizon, axis=1
-        ).T.reshape(-1)
+        # per-feature minima tiled once per (current + horizon) row
+        return np.tile(np.array(self._min_obs).reshape(-1), 1 + self._forecast_horizon)
 
     @property
     def max_obs(self):
-        return np.repeat(
-            np.array(self._max_obs).reshape((-1, 1)), 1 + self._forecast_horizon, axis=1
-        ).T.reshape(-1)
+        return np.tile(np.array(self._max_obs).reshape(-1), 1 + self._forecast_horizon)
 
     @property
     def min_act(self):
@@ -674,30 +659,27 @@ class BaseTimeSeriesMicrogridModule(BaseMicrogridModule):
 
     @final_step.setter
     def final_step(self, value):
-        if not value // 1 == value:
+        if value // 1 != value:
             raise ValueError("final_step value must be an integer.")
-        if value <= 0:
-            self._final_step = len(self)
-        else:
-            self._final_step = value
-        try:
-            if self._final_step <= self.initial_step:
-                raise ValueError("final_step value must be greater than initial_step")
-        except AttributeError:
-            pass
+        self._final_step = len(self) if value <= 0 else value
+        # initial_step is unset while the ts subclass constructor runs
+        initial = getattr(self, "initial_step", None)
+        if initial is not None and self._final_step <= initial:
+            raise ValueError("final_step value must be greater than initial_step")
 
     def _state_dict(self):
-        state_dict = dict(zip(self._state_dict_keys["current"], self.current_obs))
+        out = dict(zip(self._state_dict_keys["current"], self.current_obs))
         if self._current_forecast is not None:
-            state_dict.update(
+            out.update(
                 zip(self._state_dict_keys["forecast"], self._current_forecast.reshape(-1))
             )
-        return state_dict
+        return out
 
+    # ---------------------------------------------------------------- yaml
     def serialize(self, dumper_stream):
-        data = super().serialize(dumper_stream)
-        data["cls_params"]["forecaster"] = self._forecast_param
-        return data
+        payload = super().serialize(dumper_stream)
+        payload["cls_params"]["forecaster"] = self._forecast_param
+        return payload
 
     def serializable_state_attributes(self):
         return ["_current_step"]

@@ -1,16 +1,14 @@
 """Load module (host layer).
 
-Mirrors ``src/pymgrid/modules/load_module.py``: a fixed sink with an empty
-action space.  The time series is stored negative; ``current_load`` is the
-positive demand.  The reward here is zero — unmet load is charged by the
-balancing module.
+Behavioral mirror of ``src/pymgrid/modules/load_module.py``: a fixed sink
+with an empty action space.  The time series is stored negative;
+``current_load`` is the positive demand.  The reward here is always zero —
+the cost of *unmet* load is charged by the balancing module instead.
 """
 import numpy as np
-import yaml
-
-from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
 
 from pymgrid_tpu.modules.base import BaseTimeSeriesMicrogridModule, DEFAULT_HORIZON
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader
 
 __all__ = ["LoadModule"]
 
@@ -22,6 +20,28 @@ class LoadModule(BaseTimeSeriesMicrogridModule):
     yaml_loader = PymgridLoader
 
     state_components = np.array(["load"], dtype=object)
+
+    is_sink = property(lambda self: True)
+
+    @property
+    def current_load(self):
+        return -1 * self._time_series[self._current_step].item()
+
+    @property
+    def max_consumption(self):
+        return self.current_load
+
+    def sample_action(self, strict_bound=False):
+        return np.array([])
+
+    def _get_bounds(self):
+        # fixed modules take no actions: empty action bounds
+        obs_lo, obs_hi, _, _ = super()._get_bounds()
+        return obs_lo, obs_hi, np.array([]), np.array([])
+
+    def update(self, external_energy_change, as_source=False, as_sink=False):
+        assert as_sink, f"Class {self.__class__.__name__} is a sink."
+        return 0.0, self._done(), {"absorbed_energy": self.current_load}
 
     def __init__(
         self,
@@ -47,26 +67,3 @@ class LoadModule(BaseTimeSeriesMicrogridModule):
             absorbed_energy_name="load_met",
         )
         self.name = ("load", None)
-
-    def _get_bounds(self):
-        _min_obs, _max_obs, _, _ = super()._get_bounds()
-        return _min_obs, _max_obs, np.array([]), np.array([])
-
-    def update(self, external_energy_change, as_source=False, as_sink=False):
-        assert as_sink, f"Class {self.__class__.__name__} is a sink."
-        return 0.0, self._done(), {"absorbed_energy": self.current_load}
-
-    def sample_action(self, strict_bound=False):
-        return np.array([])
-
-    @property
-    def max_consumption(self):
-        return self.current_load
-
-    @property
-    def current_load(self):
-        return -1 * self._time_series[self._current_step].item()
-
-    @property
-    def is_sink(self):
-        return True

@@ -1,15 +1,14 @@
 """Renewable (e.g. PV) module (host layer).
 
-Mirrors ``src/pymgrid/modules/renewable_module.py``: a flex source producing
-at most the current time-series value; the shortfall between availability and
-dispatch is logged as ``curtailment``.  Production is free (reward 0).
+Behavioral mirror of ``src/pymgrid/modules/renewable_module.py``: a flex
+source producing at most the current time-series value.  Production is free
+(reward 0); the gap between availability and dispatch is logged as
+``curtailment``.
 """
 import numpy as np
-import yaml
-
-from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
 
 from pymgrid_tpu.modules.base import BaseTimeSeriesMicrogridModule, DEFAULT_HORIZON
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader
 
 __all__ = ["RenewableModule"]
 
@@ -21,6 +20,31 @@ class RenewableModule(BaseTimeSeriesMicrogridModule):
     yaml_loader = PymgridLoader
 
     state_components = np.array(["renewable"], dtype=object)
+
+    is_source = property(lambda self: True)
+
+    @property
+    def current_renewable(self):
+        return self._time_series[self._current_step].item()
+
+    @property
+    def max_production(self):
+        return self.current_renewable
+
+    def update(self, external_energy_change, as_source=False, as_sink=False):
+        assert as_source, f"Class {self.__class__.__name__} can only be used as a source."
+        available = self.current_renewable
+        assert external_energy_change <= available, (
+            f"Cannot provide more than {available}"
+        )
+        return (
+            0.0,
+            self._done(),
+            {
+                "provided_energy": external_energy_change,
+                "curtailment": available - external_energy_change,
+            },
+        )
 
     def __init__(
         self,
@@ -47,26 +71,3 @@ class RenewableModule(BaseTimeSeriesMicrogridModule):
             absorbed_energy_name=None,
         )
         self.name = ("renewable", None)
-
-    def update(self, external_energy_change, as_source=False, as_sink=False):
-        assert as_source, f"Class {self.__class__.__name__} can only be used as a source."
-        assert external_energy_change <= self.current_renewable, (
-            f"Cannot provide more than {self.current_renewable}"
-        )
-        info = {
-            "provided_energy": external_energy_change,
-            "curtailment": self.current_renewable - external_energy_change,
-        }
-        return 0.0, self._done(), info
-
-    @property
-    def max_production(self):
-        return self.current_renewable
-
-    @property
-    def current_renewable(self):
-        return self._time_series[self._current_step].item()
-
-    @property
-    def is_source(self):
-        return True
