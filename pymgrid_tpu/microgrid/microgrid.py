@@ -1,6 +1,6 @@
 """The ``Microgrid`` host class.
 
-API mirror of the reference central class
+Behavioral mirror of the reference central class
 (``src/pymgrid/microgrid/microgrid.py:15``): a container of modules stepped
 through a three-phase energy dispatch (fixed -> controllable -> flex) with
 per-module rewards and full logging.
@@ -36,7 +36,7 @@ DEFAULT_HORIZON = 23
 
 
 class Microgrid(yaml.YAMLObject):
-    """A microgrid: a container of modules and the energy-balance dispatch.
+    """A microgrid: a container of modules plus the energy-balance dispatch.
 
     Parameters mirror the reference (``microgrid/microgrid.py:100-128``).
     """
@@ -54,7 +54,7 @@ class Microgrid(yaml.YAMLObject):
         reward_shaping_func=None,
         trajectory_func=None,
     ):
-        self._modules = self._get_module_container(
+        self._modules = self._build_container(
             modules, add_unbalanced_module, loss_load_cost, overgeneration_cost
         )
 
@@ -66,16 +66,26 @@ class Microgrid(yaml.YAMLObject):
             self._modules.get_attrs("observation_space", as_pandas=False), "obs"
         )
 
-        self._initial_step = self._get_module_initial_step()
-        self._final_step = self._get_module_final_step()
+        self._initial_step = self._consensus_initial_step()
+        self._final_step = self._consensus_final_step()
 
         self.reward_shaping_func = reward_shaping_func
-        self.trajectory_func = self._check_trajectory_func(trajectory_func)
+        self.trajectory_func = self._validate_trajectory_func(trajectory_func)
 
         self._balance_logger = ModularLogger()
         self._microgrid_logger = ModularLogger()
 
-    # ------------------------------------------------------------- construction
+    # --------------------------------------------------------- construction
+    def _build_container(self, modules, add_unbalanced_module, loss_load_cost, overgeneration_cost):
+        if isinstance(modules, (str, bytes, dict)) or not hasattr(modules, "__iter__"):
+            raise TypeError("modules must be list-like of modules.")
+        module_list = deepcopy(list(modules))
+        if add_unbalanced_module:
+            module_list.append(
+                self._get_unbalanced_energy_module(loss_load_cost, overgeneration_cost)
+            )
+        return ModuleContainer(module_list)
+
     def _get_unbalanced_energy_module(self, loss_load_cost, overgeneration_cost):
         return UnbalancedEnergyModule(
             raise_errors=False,
@@ -83,219 +93,197 @@ class Microgrid(yaml.YAMLObject):
             overgeneration_cost=overgeneration_cost,
         )
 
-    def _get_module_container(
-        self, modules, add_unbalanced_module, loss_load_cost, overgeneration_cost
-    ):
-        if isinstance(modules, (str, bytes, dict)) or not hasattr(modules, "__iter__"):
-            raise TypeError("modules must be list-like of modules.")
-        modules = deepcopy(list(modules))
-        if add_unbalanced_module:
-            modules.append(
-                self._get_unbalanced_energy_module(loss_load_cost, overgeneration_cost)
-            )
-        return ModuleContainer(modules)
-
-    def _check_trajectory_func(self, trajectory_func):
+    def _validate_trajectory_func(self, trajectory_func):
         if trajectory_func is None:
-            return trajectory_func
+            return None
         if not callable(trajectory_func):
             raise TypeError("trajectory_func must be callable.")
 
-        output = trajectory_func(self._initial_step, self._final_step)
+        probe = trajectory_func(self._initial_step, self._final_step)
         try:
-            initial_step, final_step = output
-            if not (isinstance(initial_step, int) and isinstance(final_step, int)):
+            start, stop = probe
+            if not (isinstance(start, int) and isinstance(stop, int)):
                 raise ValueError
         except (TypeError, ValueError):
-            raise TypeError(
-                f"trajectory func must return two integer values, not {output}"
-            )
+            raise TypeError(f"trajectory func must return two integer values, not {probe}")
 
-        if initial_step < self._initial_step:
+        if start < self._initial_step:
             raise ValueError(
-                f"trajectory_func returned initial_step value ({initial_step}) less "
+                f"trajectory_func returned initial_step value ({start}) less "
                 f"than env's initial step: ({self._initial_step})"
             )
-        if final_step > self._final_step:
+        if stop > self._final_step:
             raise ValueError(
-                f"trajectory_func returned final_step value ({final_step}) greater "
+                f"trajectory_func returned final_step value ({stop}) greater "
                 f"than env's final step: ({self._final_step})"
             )
-        if initial_step >= final_step:
+        if start >= stop:
             raise ValueError(
-                f"trajectory_func returned values ({initial_step}, {final_step}) such "
+                f"trajectory_func returned values ({start}, {stop}) such "
                 f"that initial_step was greater than or equal to final_step."
             )
         return trajectory_func
 
-    # ------------------------------------------------------------------ control
-    def reset(self):
-        """Reset all modules (re-rolling the trajectory) and flush logs."""
-        self._set_trajectory()
-        return {
-            **{
-                name: [module.reset() for module in module_list]
-                for name, module_list in self.modules.iterdict()
-            },
-            **{
-                "balance": self._balance_logger.flush(),
-                "other": self._microgrid_logger.flush(),
-            },
-        }
+    # ----------------------------------------------------------- containers
+    @property
+    def modules(self):
+        return self._modules
 
-    def _set_trajectory(self):
-        if self.trajectory_func is not None:
-            initial_step, final_step = self.trajectory_func(
-                self._initial_step, self._final_step
+    @property
+    def fixed(self):
+        return self._modules.fixed
+
+    @property
+    def flex(self):
+        return self._modules.flex
+
+    @property
+    def controllable(self):
+        return self._modules.controllable
+
+    @property
+    def module_list(self):
+        return self._modules.to_list()
+
+    @property
+    def n_modules(self):
+        return len(self._modules)
+
+    # ----------------------------------------------------------------- yaml
+    def dump(self, stream=None):
+        return yaml_dump(self, stream=stream)
+
+    @classmethod
+    def load(cls, stream):
+        return yaml_load(stream)
+
+    @classmethod
+    def to_yaml(cls, dumper, data):
+        add_numpy_pandas_representers()
+        return dumper.represent_mapping(
+            cls.yaml_tag, data.serialize(dumper.stream), flow_style=cls.yaml_flow_style
+        )
+
+    @classmethod
+    def from_yaml(cls, loader, node):
+        add_numpy_pandas_constructors()
+        mapping = loader.construct_mapping(node, deep=True)
+
+        if "scenario" in mapping:
+            scenario_number = mapping.pop("scenario")
+            if len(mapping):
+                warn(f"Ignoring keys {mapping.keys()} when loading from scenario.")
+            return cls.from_scenario(scenario_number)
+
+        instance = cls(mapping["modules"], add_unbalanced_module=False)
+        instance._balance_logger = instance._balance_logger.from_raw(
+            mapping.get("balance_log")
+        )
+        instance.trajectory_func = mapping.get("trajectory_func", None)
+        instance._initial_step = mapping.get("initial_step", instance.initial_step)
+        instance._final_step = mapping.get("final_step", instance.final_step)
+        return instance
+
+    def serialize(self, dumper_stream):
+        payload = {
+            "modules": self._modules.to_tuples(),
+            "trajectory_func": self.trajectory_func,
+            "initial_step": self.initial_step,
+            "final_step": self.final_step,
+            **self._balance_logger.serialize("balance_log"),
+        }
+        return dump_data(payload, dumper_stream, self.yaml_tag)
+
+    @classmethod
+    def from_scenario(cls, microgrid_number=0):
+        """Load one of the packaged *pymgrid25* benchmark microgrids."""
+        from pymgrid_tpu.paths import scenario_yaml_path
+
+        if microgrid_number not in range(25):
+            raise TypeError(
+                f"Invalid microgrid_number {microgrid_number}, must be an integer "
+                f"in the range [0, 25)."
             )
-            self._set_initial_step(initial_step, modules_only=True)
-            self._set_final_step(final_step, modules_only=True)
+        with open(scenario_yaml_path(microgrid_number), "r") as f:
+            return cls.load(f)
 
-    def run(self, control, normalized=True):
-        """Advance the microgrid one step.
+    @classmethod
+    def from_nonmodular(cls, nonmodular):
+        from pymgrid_tpu.convert import to_modular
 
-        Three phases (``microgrid/microgrid.py:227-325``):
+        return to_modular(nonmodular)
 
-        1. fixed modules step with a zero action (loads absorb their demand);
-        2. controllable modules consume their entries of ``control``;
-        3. flex modules balance the residual — sinks absorb any excess in
-           container order, sources supply any deficit; the balancing module
-           reconciles whatever remains.
+    def to_nonmodular(self):
+        from pymgrid_tpu.convert import to_nonmodular
 
-        Returns the gym-style 4-tuple ``(obs, reward, done, info)``.
-        """
-        control_copy = control.copy()
-        microgrid_step = MicrogridStep(
-            reward_shaping_func=self.reward_shaping_func, cost_info=self.get_cost_info()
-        )
+        return to_nonmodular(self)
 
-        for name, modules in self.fixed.iterdict():
-            for module in modules:
-                microgrid_step.append(name, *module.step(0.0, normalized=False))
+    # ---------------------------------------------------------------- steps
+    @property
+    def current_step(self):
+        return self._modules.get_attrs("current_step", unique=True).item()
 
-        fixed_provided, fixed_consumed, _, _ = microgrid_step.balance()
-        log_dict = self._get_log_dict(fixed_provided, fixed_consumed, prefix="fixed")
+    def _consensus_initial_step(self):
+        gathered = self.modules.get_attrs("initial_step", unique=True)
+        try:
+            return gathered.item()
+        except ValueError:
+            if gathered.empty:
+                return 0
+            raise
 
-        for name, modules in self.controllable.iterdict():
-            try:
-                module_controls = control_copy.pop(name)
-            except KeyError:
-                raise ValueError(
-                    f'Control for module "{name}" not found. Available controls:'
-                    f"\n\t{control.keys()}"
-                )
-            try:
-                _zip = zip(modules, module_controls)
-            except TypeError:
-                _zip = zip(modules, [module_controls])
+    def _consensus_final_step(self):
+        gathered = self.modules.get_attrs("final_step", unique=True)
+        try:
+            return gathered.item()
+        except ValueError:
+            if gathered.empty:
+                return np.inf
+            raise
 
-            for module, _control in _zip:
-                module_step = module.step(_control, normalized=normalized)
-                microgrid_step.append(name, *module_step)
+    @property
+    def initial_step(self):
+        return self._initial_step
 
-        provided, consumed, _, _ = microgrid_step.balance()
-        difference = provided - consumed
+    @initial_step.setter
+    def initial_step(self, value):
+        self._set_initial_step(value)
 
-        log_dict = self._get_log_dict(
-            provided - fixed_provided,
-            consumed - fixed_consumed,
-            log_dict=log_dict,
-            prefix="controllable",
-        )
+    def _set_initial_step(self, value, modules_only=False):
+        self.set_module_attr("initial_step", value)
+        if not modules_only:
+            self._initial_step = self._consensus_initial_step()
 
-        if len(control_copy) > 0:
-            warn(f"\nIgnoring the following keys in passed control:\n {list(control_copy.keys())}")
+    @property
+    def final_step(self):
+        return self._final_step
 
-        if difference > 0:
-            energy_excess = difference
-            for name, modules in self.flex.iterdict():
-                for module in modules:
-                    if not module.is_sink:
-                        sink_amt = 0.0
-                    elif module.max_consumption < energy_excess:
-                        sink_amt = -1.0 * module.max_consumption
-                    else:
-                        sink_amt = -1.0 * energy_excess
+    @final_step.setter
+    def final_step(self, value):
+        self._set_final_step(value)
 
-                    module_step = module.step(sink_amt, normalized=False)
-                    microgrid_step.append(name, *module_step)
-                    energy_excess += sink_amt
-        else:
-            energy_needed = -difference
-            for name, modules in self.flex.iterdict():
-                for module in modules:
-                    if not module.is_source:
-                        source_amt = 0.0
-                    elif module.max_production < energy_needed:
-                        source_amt = module.max_production
-                    else:
-                        source_amt = energy_needed
+    def _set_final_step(self, value, modules_only=False):
+        self.set_module_attr("final_step", value)
+        if not modules_only:
+            self._final_step = self._consensus_final_step()
 
-                    module_step = module.step(source_amt, normalized=False)
-                    microgrid_step.append(name, *module_step)
-                    energy_needed -= source_amt
-
-        provided, consumed, reward, shaped_reward = microgrid_step.balance()
-        log_dict = self._get_log_dict(
-            provided, consumed, log_dict=log_dict, prefix="overall"
-        )
-        self._balance_logger.log(
-            reward=reward, shaped_reward=shaped_reward, **log_dict
-        )
-
-        if not np.isclose(provided, consumed):
-            raise RuntimeError(
-                "Microgrid modules unable to balance energy production with "
-                "consumption.\n"
-            )
-
-        return microgrid_step.output()
-
-    def _get_log_dict(self, provided_energy, absorbed_energy, log_dict=None, prefix=None):
-        _log_dict = dict(
-            provided_to_microgrid=provided_energy, absorbed_from_microgrid=absorbed_energy
-        )
-        _log_dict = {
-            (prefix + "_" + k if prefix is not None else k): v
-            for k, v in _log_dict.items()
-        }
-        if log_dict:
-            _log_dict.update(log_dict)
-        return _log_dict
-
-    def get_cost_info(self):
-        return self._modules.get_attrs(
-            "production_marginal_cost", "absorption_marginal_cost", as_pandas=False
-        )
-
-    def sample_action(self, strict_bound=False, sample_flex_modules=False):
-        """Uniform random action dict over modules with non-empty action spaces."""
-        module_iterator = (
-            self._modules.to_dict()
-            if sample_flex_modules
-            else self._modules.controllable.to_dict()
-        )
+    # ---------------------------------------------------------------- state
+    def state_dict(self, normalized=False):
         return {
-            module_name: [
-                module.sample_action(strict_bound=strict_bound) for module in module_list
-            ]
-            for module_name, module_list in module_iterator.items()
-            if module_list[0].action_space.shape[0]
+            name: [module.state_dict(normalized=normalized) for module in modules]
+            for name, modules in self._modules.iterdict()
         }
 
-    def get_empty_action(self, sample_flex_modules=False):
-        module_iterator = (
-            self._modules.to_dict()
-            if sample_flex_modules
-            else self._modules.controllable.to_dict()
-        )
-        return {
-            module_name: [None] * len(module_list)
-            for module_name, module_list in module_iterator.items()
-            if module_list[0].action_space.shape[0]
-        }
+    def state_series(self, normalized=False):
+        import pandas as pd
 
-    # ------------------------------------------------------------- normalization
+        flattened = {}
+        for name, per_module_states in self.state_dict(normalized=normalized).items():
+            for num, state in enumerate(per_module_states):
+                for key, value in state.items():
+                    flattened[(name, num, key)] = value
+        return pd.Series(flattened)
+
     def to_normalized(self, data_dict, act=False, obs=False):
         assert act + obs == 1
         return {
@@ -318,42 +306,16 @@ class Microgrid(yaml.YAMLObject):
             if name in data_dict
         }
 
-    # ------------------------------------------------------------------ logging
-    def get_log(self, as_frame=True, drop_singleton_key=False):
-        """Full log as a ``(module_name, module_number, field)`` MultiIndex
-        DataFrame (reference ``microgrid/microgrid.py:434-475``)."""
-        import pandas as pd
+    # ------------------------------------------------------------ broadcast
+    def set_module_attr(self, attr_name, value):
+        touched = 0
+        for module in self._modules.iterlist():
+            if hasattr(module, attr_name):
+                setattr(module, attr_name, value)
+                touched += 1
+        if not touched:
+            raise AttributeError(f"No module has attribute '{attr_name}'.")
 
-        _log_dict = dict()
-        for name, modules in self._modules.iterdict():
-            for j, module in enumerate(modules):
-                for key, value in module.log_dict().items():
-                    _log_dict[(name, j, key)] = value
-
-        for key, value in self._balance_logger.to_dict().items():
-            _log_dict[("balance", 0, key)] = value
-
-        for key, value in self._microgrid_logger.items():
-            _log_dict[(key, 0, "")] = value
-
-        col_names = ["module_name", "module_number", "field"]
-        df = pd.DataFrame(
-            _log_dict, index=pd.RangeIndex(start=self.initial_step, stop=self.current_step)
-        )
-        df.columns = pd.MultiIndex.from_tuples(df.columns.to_list(), names=col_names)
-
-        if drop_singleton_key:
-            df.columns = df.columns.remove_unused_levels()
-
-        if as_frame:
-            return df
-        return df.to_dict()
-
-    @property
-    def log(self):
-        return self.get_log()
-
-    # ------------------------------------------------------------- forecasting
     def set_forecaster(
         self,
         forecaster,
@@ -361,224 +323,229 @@ class Microgrid(yaml.YAMLObject):
         forecaster_increase_uncertainty=False,
         forecaster_relative_noise=False,
     ):
+        common = dict(
+            forecast_horizon=forecast_horizon,
+            forecaster_increase_uncertainty=forecaster_increase_uncertainty,
+            forecaster_relative_noise=forecaster_relative_noise,
+        )
+
         if isinstance(forecaster, dict):
-            for module_name, _forecaster in forecaster.items():
+            for module_name, module_forecaster in forecaster.items():
                 if module_name not in self._modules.names():
                     raise NameError(f"Unrecognized module {module_name}.")
                 for module in self._modules[module_name]:
                     try:
-                        module.set_forecaster(
-                            _forecaster,
-                            forecast_horizon=forecast_horizon,
-                            forecaster_increase_uncertainty=forecaster_increase_uncertainty,
-                            forecaster_relative_noise=forecaster_relative_noise,
-                        )
+                        module.set_forecaster(module_forecaster, **common)
                     except AttributeError:
                         pass
-        else:
-            for module in self._modules.iterlist():
-                try:
-                    module.set_forecaster(
-                        forecaster,
-                        forecast_horizon=forecast_horizon,
-                        forecaster_increase_uncertainty=forecaster_increase_uncertainty,
-                        forecaster_relative_noise=forecaster_relative_noise,
-                    )
-                except AttributeError:
-                    pass
+            return
 
-    def get_forecast_horizon(self):
-        horizons = []
         for module in self._modules.iterlist():
             try:
-                horizons.append(module.forecast_horizon)
+                module.set_forecaster(forecaster, **common)
             except AttributeError:
                 pass
 
-        if len(horizons) == 0:
+    def get_forecast_horizon(self):
+        horizons = [
+            module.forecast_horizon
+            for module in self._modules.iterlist()
+            if hasattr(module, "forecast_horizon")
+        ]
+        if not horizons:
             warn(
                 f"No forecast horizon found in microgrid.modules. Using default "
                 f"horizon {DEFAULT_HORIZON}"
             )
             return DEFAULT_HORIZON
-        if not np.min(horizons) == np.max(horizons):
+        if np.min(horizons) != np.max(horizons):
             raise ValueError(f"Mismatched forecast_horizons found: {horizons}")
         return horizons[0]
 
-    def set_module_attr(self, attr_name, value):
-        set_at_least_one = False
-        for module in self._modules.iterlist():
-            if not hasattr(module, attr_name):
-                continue
-            setattr(module, attr_name, value)
-            set_at_least_one = True
-        if not set_at_least_one:
-            raise AttributeError(f"No module has attribute '{attr_name}'.")
+    def get_cost_info(self):
+        return self._modules.get_attrs(
+            "production_marginal_cost", "absorption_marginal_cost", as_pandas=False
+        )
 
-    # ------------------------------------------------------------------ steps
-    @property
-    def current_step(self):
-        return self._modules.get_attrs("current_step", unique=True).item()
-
-    @property
-    def initial_step(self):
-        return self._initial_step
-
-    def _get_module_initial_step(self):
-        initial_step = self.modules.get_attrs("initial_step", unique=True)
-        try:
-            return initial_step.item()
-        except ValueError:
-            if initial_step.empty:
-                return 0
-            raise
-
-    @initial_step.setter
-    def initial_step(self, value):
-        self._set_initial_step(value)
-
-    def _set_initial_step(self, value, modules_only=False):
-        self.set_module_attr("initial_step", value)
-        if not modules_only:
-            self._initial_step = self._get_module_initial_step()
-
-    @property
-    def final_step(self):
-        return self._final_step
-
-    def _get_module_final_step(self):
-        final_step = self.modules.get_attrs("final_step", unique=True)
-        try:
-            return final_step.item()
-        except ValueError:
-            if final_step.empty:
-                return np.inf
-            raise
-
-    @final_step.setter
-    def final_step(self, value):
-        self._set_final_step(value)
-
-    def _set_final_step(self, value, modules_only=False):
-        self.set_module_attr("final_step", value)
-        if not modules_only:
-            self._final_step = self._get_module_final_step()
-
-    # ------------------------------------------------------------------ state
-    @property
-    def modules(self):
-        return self._modules
-
-    def state_dict(self, normalized=False):
+    # ------------------------------------------------------------- sampling
+    def _actionable_modules(self, sample_flex_modules):
+        source = self._modules if sample_flex_modules else self._modules.controllable
         return {
-            name: [module.state_dict(normalized=normalized) for module in modules]
-            for name, modules in self._modules.iterdict()
+            name: module_list
+            for name, module_list in source.to_dict().items()
+            if module_list[0].action_space.shape[0]
         }
 
-    def state_series(self, normalized=False):
+    def sample_action(self, strict_bound=False, sample_flex_modules=False):
+        """Uniform random action dict over modules with non-empty action spaces."""
+        return {
+            name: [m.sample_action(strict_bound=strict_bound) for m in module_list]
+            for name, module_list in self._actionable_modules(sample_flex_modules).items()
+        }
+
+    def get_empty_action(self, sample_flex_modules=False):
+        return {
+            name: [None] * len(module_list)
+            for name, module_list in self._actionable_modules(sample_flex_modules).items()
+        }
+
+    # -------------------------------------------------------------- logging
+    def get_log(self, as_frame=True, drop_singleton_key=False):
+        """Full log as a ``(module_name, module_number, field)`` MultiIndex
+        DataFrame (reference ``microgrid/microgrid.py:434-475``)."""
         import pandas as pd
 
-        return pd.Series(
-            {
-                (name, num, key): value
-                for name, sd_list in self.state_dict(normalized=normalized).items()
-                for num, sd in enumerate(sd_list)
-                for key, value in sd.items()
-            }
+        columns = {}
+        for name, modules in self._modules.iterdict():
+            for j, module in enumerate(modules):
+                for field, series in module.log_dict().items():
+                    columns[(name, j, field)] = series
+
+        for field, series in self._balance_logger.to_dict().items():
+            columns[("balance", 0, field)] = series
+
+        for field, series in self._microgrid_logger.items():
+            columns[(field, 0, "")] = series
+
+        frame = pd.DataFrame(
+            columns, index=pd.RangeIndex(start=self.initial_step, stop=self.current_step)
+        )
+        frame.columns = pd.MultiIndex.from_tuples(
+            frame.columns.to_list(), names=["module_name", "module_number", "field"]
         )
 
-    @property
-    def fixed(self):
-        return self._modules.fixed
+        if drop_singleton_key:
+            frame.columns = frame.columns.remove_unused_levels()
+
+        return frame if as_frame else frame.to_dict()
 
     @property
-    def flex(self):
-        return self._modules.flex
+    def log(self):
+        return self.get_log()
 
-    @property
-    def controllable(self):
-        return self._modules.controllable
-
-    @property
-    def module_list(self):
-        return self._modules.to_list()
-
-    @property
-    def n_modules(self):
-        return len(self._modules)
-
-    # ------------------------------------------------------------------ yaml
-    def dump(self, stream=None):
-        return yaml_dump(self, stream=stream)
-
-    @classmethod
-    def load(cls, stream):
-        return yaml_load(stream)
-
-    @classmethod
-    def to_yaml(cls, dumper, data):
-        add_numpy_pandas_representers()
-        return dumper.represent_mapping(
-            cls.yaml_tag, data.serialize(dumper.stream), flow_style=cls.yaml_flow_style
-        )
-
-    @classmethod
-    def from_yaml(cls, loader, node):
-        add_numpy_pandas_constructors()
-        mapping = loader.construct_mapping(node, deep=True)
-
-        if "scenario" in mapping:
-            microgrid_number = mapping.pop("scenario")
-            if len(mapping):
-                warn(f"Ignoring keys {mapping.keys()} when loading from scenario.")
-            return cls.from_scenario(microgrid_number)
-
-        instance = cls(mapping["modules"], add_unbalanced_module=False)
-        instance._balance_logger = instance._balance_logger.from_raw(
-            mapping.get("balance_log")
-        )
-        instance.trajectory_func = mapping.get("trajectory_func", None)
-        instance._initial_step = mapping.get("initial_step", instance.initial_step)
-        instance._final_step = mapping.get("final_step", instance.final_step)
-        return instance
-
-    def serialize(self, dumper_stream):
-        return dump_data(self._serialization_data(), dumper_stream, self.yaml_tag)
-
-    def _serialization_data(self):
-        return {
-            "modules": self._modules.to_tuples(),
-            "trajectory_func": self.trajectory_func,
-            "initial_step": self.initial_step,
-            "final_step": self.final_step,
-            **self._balance_logger.serialize("balance_log"),
+    def _get_log_dict(self, provided_energy, absorbed_energy, log_dict=None, prefix=None):
+        tag = "" if prefix is None else prefix + "_"
+        out = {
+            tag + "provided_to_microgrid": provided_energy,
+            tag + "absorbed_from_microgrid": absorbed_energy,
         }
+        if log_dict:
+            out.update(log_dict)
+        return out
 
-    @classmethod
-    def from_nonmodular(cls, nonmodular):
-        from pymgrid_tpu.convert import to_modular
+    # -------------------------------------------------------------- control
+    def reset(self):
+        """Reset all modules (re-rolling the trajectory) and flush logs."""
+        self._roll_trajectory()
+        out = {
+            name: [module.reset() for module in module_list]
+            for name, module_list in self.modules.iterdict()
+        }
+        out["balance"] = self._balance_logger.flush()
+        out["other"] = self._microgrid_logger.flush()
+        return out
 
-        return to_modular(nonmodular)
+    def _roll_trajectory(self):
+        if self.trajectory_func is None:
+            return
+        start, stop = self.trajectory_func(self._initial_step, self._final_step)
+        self._set_initial_step(start, modules_only=True)
+        self._set_final_step(stop, modules_only=True)
 
-    def to_nonmodular(self):
-        from pymgrid_tpu.convert import to_nonmodular
+    def run(self, control, normalized=True):
+        """Advance the microgrid one step.
 
-        return to_nonmodular(self)
+        Three phases (``microgrid/microgrid.py:227-325``):
 
-    @classmethod
-    def from_scenario(cls, microgrid_number=0):
-        """Load one of the packaged *pymgrid25* benchmark microgrids."""
-        from pymgrid_tpu.paths import scenario_yaml_path
+        1. fixed modules step with a zero action (loads absorb their demand);
+        2. controllable modules consume their entries of ``control``;
+        3. flex modules balance the residual — sinks absorb any excess in
+           container order, sources supply any deficit; the balancing module
+           reconciles whatever remains.
 
-        n = microgrid_number
-        if n not in np.arange(25):
-            raise TypeError(
-                f"Invalid microgrid_number {n}, must be an integer in the range [0, 25)."
+        Returns the gym-style 4-tuple ``(obs, reward, done, info)``.
+        """
+        pending = control.copy()
+        accumulator = MicrogridStep(
+            reward_shaping_func=self.reward_shaping_func, cost_info=self.get_cost_info()
+        )
+
+        # phase 1: fixed modules, zero action
+        for name, modules in self.fixed.iterdict():
+            for module in modules:
+                accumulator.append(name, *module.step(0.0, normalized=False))
+
+        fixed_provided, fixed_consumed, _, _ = accumulator.balance()
+        log_dict = self._get_log_dict(fixed_provided, fixed_consumed, prefix="fixed")
+
+        # phase 2: controllable modules consume their control entries
+        for name, modules in self.controllable.iterdict():
+            if name not in pending:
+                raise ValueError(
+                    f'Control for module "{name}" not found. Available controls:'
+                    f"\n\t{control.keys()}"
+                )
+            module_controls = pending.pop(name)
+            try:
+                paired = list(zip(modules, module_controls))
+            except TypeError:
+                paired = list(zip(modules, [module_controls]))
+
+            for module, module_control in paired:
+                accumulator.append(name, *module.step(module_control, normalized=normalized))
+
+        provided, consumed, _, _ = accumulator.balance()
+        difference = provided - consumed
+
+        log_dict = self._get_log_dict(
+            provided - fixed_provided,
+            consumed - fixed_consumed,
+            log_dict=log_dict,
+            prefix="controllable",
+        )
+
+        if len(pending) > 0:
+            warn(f"\nIgnoring the following keys in passed control:\n {list(pending.keys())}")
+
+        # phase 3: flex modules absorb the surplus / cover the shortfall
+        if difference > 0:
+            surplus = difference
+            for name, modules in self.flex.iterdict():
+                for module in modules:
+                    if not module.is_sink:
+                        sink_request = 0.0
+                    elif module.max_consumption < surplus:
+                        sink_request = -1.0 * module.max_consumption
+                    else:
+                        sink_request = -1.0 * surplus
+                    accumulator.append(name, *module.step(sink_request, normalized=False))
+                    surplus += sink_request
+        else:
+            shortfall = -difference
+            for name, modules in self.flex.iterdict():
+                for module in modules:
+                    if not module.is_source:
+                        contribution = 0.0
+                    elif module.max_production < shortfall:
+                        contribution = module.max_production
+                    else:
+                        contribution = shortfall
+                    accumulator.append(name, *module.step(contribution, normalized=False))
+                    shortfall -= contribution
+
+        provided, consumed, reward, shaped_reward = accumulator.balance()
+        log_dict = self._get_log_dict(provided, consumed, log_dict=log_dict, prefix="overall")
+        self._balance_logger.log(reward=reward, shaped_reward=shaped_reward, **log_dict)
+
+        if not np.isclose(provided, consumed):
+            raise RuntimeError(
+                "Microgrid modules unable to balance energy production with "
+                "consumption.\n"
             )
-        with open(scenario_yaml_path(n), "r") as f:
-            return cls.load(f)
 
-    # ------------------------------------------------------------------ dunder
+        return accumulator.output()
+
+    # --------------------------------------------------------------- dunder
     def _dir_additions(self):
         return {
             x
@@ -595,31 +562,28 @@ class Microgrid(yaml.YAMLObject):
         return (self.modules.to_tuples(),)
 
     def __len__(self):
-        l = []
+        lengths = []
         for module in self.modules.iterlist():
             try:
-                l.append(len(module))
+                lengths.append(len(module))
             except TypeError:
                 pass
-        return min(l)
+        return min(lengths)
 
     def __eq__(self, other):
         if type(self) != type(other):
             return NotImplemented
-        return all(
-            [
-                self.modules.to_dict() == other.modules.to_dict(),
-                self._balance_logger == other._balance_logger,
-                self.trajectory_func == other.trajectory_func,
-            ]
+        return (
+            self.modules.to_dict() == other.modules.to_dict()
+            and self._balance_logger == other._balance_logger
+            and self.trajectory_func == other.trajectory_func
         )
 
     def __repr__(self):
-        module_str = ", ".join(
-            name + " x " + str(len(modules))
-            for name, modules in self._modules.iterdict()
+        census = ", ".join(
+            f"{name} x {len(modules)}" for name, modules in self._modules.iterdict()
         )
-        return f"Microgrid([{module_str}])"
+        return f"Microgrid([{census}])"
 
     def __getattr__(self, item):
         if item.startswith("__") or item == "_modules":

@@ -6,7 +6,7 @@ summed module reward (reference: ``src/pymgrid/microgrid/reward_shaping/``).
 import numpy as np
 import yaml
 
-from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader
 
 __all__ = ["BaseRewardShaper", "PVCurtailmentShaper", "BatteryDischargeShaper"]
 
@@ -22,9 +22,9 @@ class BaseRewardShaper(yaml.YAMLObject):
 
     @staticmethod
     def sum_module_val(info, module_name, module_attr):
+        # missing module or missing field both count as zero
         try:
-            module_info = info[module_name]
-            return sum(d[module_attr] for d in module_info)
+            return sum(entry[module_attr] for entry in info[module_name])
         except KeyError:
             return 0.0
 
@@ -35,6 +35,27 @@ class BaseRewardShaper(yaml.YAMLObject):
         return f"{self.__class__.__name__}()"
 
 
+class BatteryDischargeShaper(BaseRewardShaper):
+    """Shaped reward = (battery discharge - loss load) / load, in [-1, 1]."""
+
+    yaml_tag = "!BatteryDischargeShaper"
+
+    def __call__(self, step_info, cost_info):
+        discharge = self.sum_module_val(step_info, "battery", "provided_energy")
+        shortfall = self.sum_module_val(step_info, "unbalanced_energy", "provided_energy")
+        demand = self.sum_module_val(step_info, "load", "absorbed_energy")
+        try:
+            fraction = (discharge - shortfall) / demand
+        except ZeroDivisionError:
+            return 0.0
+        assert (
+            -1 <= fraction <= 1
+            or np.isclose(fraction, 1)
+            or np.isclose(fraction, 0)
+        )
+        return fraction
+
+
 class PVCurtailmentShaper(BaseRewardShaper):
     """Shaped reward = negative total PV curtailment (module named ``pv``)."""
 
@@ -42,24 +63,3 @@ class PVCurtailmentShaper(BaseRewardShaper):
 
     def __call__(self, step_info, cost_info):
         return -1.0 * self.sum_module_val(step_info, "pv", "curtailment")
-
-
-class BatteryDischargeShaper(BaseRewardShaper):
-    """Shaped reward = (battery discharge - loss load) / load, in [-1, 1]."""
-
-    yaml_tag = "!BatteryDischargeShaper"
-
-    def __call__(self, step_info, cost_info):
-        battery_discharge = self.sum_module_val(step_info, "battery", "provided_energy")
-        load = self.sum_module_val(step_info, "load", "absorbed_energy")
-        loss_load = self.sum_module_val(step_info, "unbalanced_energy", "provided_energy")
-        try:
-            percent_battery = (battery_discharge - loss_load) / load
-        except ZeroDivisionError:
-            return 0.0
-        assert (
-            -1 <= percent_battery <= 1
-            or np.isclose(percent_battery, 1)
-            or np.isclose(percent_battery, 0)
-        )
-        return percent_battery

@@ -8,7 +8,7 @@ import inspect
 import numpy as np
 import yaml
 
-from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader, yaml_dump, yaml_load
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader
 
 __all__ = [
     "BaseTrajectory",
@@ -31,14 +31,33 @@ class BaseTrajectory(yaml.YAMLObject):
         raise NotImplementedError
 
     def __repr__(self):
-        params = inspect.signature(self.__init__).parameters
-        formatted = ", ".join(f"{p}={getattr(self, p)}" for p in params)
-        return f"{self.__class__.__name__}({formatted})"
+        ctor_params = inspect.signature(self.__init__).parameters
+        rendered = ", ".join(f"{p}={getattr(self, p)}" for p in ctor_params)
+        return f"{self.__class__.__name__}({rendered})"
 
     def __eq__(self, other):
         if type(self) != type(other):
             return NotImplemented
         return repr(self) == repr(other)
+
+
+class FixedLengthStochasticTrajectory(BaseTrajectory):
+    """Random start, fixed episode length."""
+
+    yaml_tag = "!FixedLengthStochasticTrajectory"
+
+    def __init__(self, trajectory_length):
+        self.trajectory_length = trajectory_length
+
+    def __call__(self, initial_step, final_step):
+        span = final_step - initial_step
+        if span < self.trajectory_length:
+            raise ValueError(
+                f"Cannot create a trajectory of length {self.trajectory_length}"
+                f"between initial_step ({initial_step}) and final_step ({final_step})"
+            )
+        start = np.random.randint(initial_step, final_step - self.trajectory_length)
+        return start, start + self.trajectory_length
 
 
 class DeterministicTrajectory(BaseTrajectory):
@@ -58,24 +77,6 @@ class StochasticTrajectory(BaseTrajectory):
     yaml_tag = "!StochasticTrajectory"
 
     def __call__(self, initial_step, final_step):
-        initial = np.random.randint(initial_step, final_step - 2)
-        final = np.random.randint(initial, final_step)
-        return initial, final
-
-
-class FixedLengthStochasticTrajectory(BaseTrajectory):
-    """Random start, fixed episode length."""
-
-    yaml_tag = "!FixedLengthStochasticTrajectory"
-
-    def __init__(self, trajectory_length):
-        self.trajectory_length = trajectory_length
-
-    def __call__(self, initial_step, final_step):
-        if final_step - initial_step < self.trajectory_length:
-            raise ValueError(
-                f"Cannot create a trajectory of length {self.trajectory_length}"
-                f"between initial_step ({initial_step}) and final_step ({final_step})"
-            )
-        initial = np.random.randint(initial_step, final_step - self.trajectory_length)
-        return initial, initial + self.trajectory_length
+        start = np.random.randint(initial_step, final_step - 2)
+        stop = np.random.randint(start, final_step)
+        return start, stop
