@@ -1,6 +1,6 @@
 """Base RL environment.
 
-Mirrors ``src/pymgrid/envs/base/base.py``: an environment is a
+Behavioral mirror of ``src/pymgrid/envs/base/base.py``: an environment is a
 :class:`~pymgrid_tpu.microgrid.Microgrid` with gym-style
 ``reset``/``step``/spaces.  Observation spaces are per-module normalized
 boxes, optionally filtered by state-dict key names and flattened.
@@ -31,16 +31,49 @@ class BaseMicrogridEnv(Microgrid):
     action_space = None
     observation_space = None
 
+    # ------------------------------------------------------- constructors
+    @classmethod
+    def from_microgrid(cls, microgrid, **kwargs):
+        if not hasattr(microgrid, "modules"):
+            from pymgrid_tpu.nonmodular import NonModularMicrogrid
+
+            assert isinstance(microgrid, NonModularMicrogrid)
+            return cls.from_nonmodular(microgrid, **kwargs)
+
+        forwarded = kwargs.copy()
+        forwarded.setdefault("add_unbalanced_module", False)
+        forwarded.setdefault("reward_shaping_func", microgrid.reward_shaping_func)
+        forwarded.setdefault("trajectory_func", microgrid.trajectory_func)
+        return cls(microgrid.modules.to_tuples(), **forwarded)
+
+    @classmethod
+    def from_nonmodular(cls, nonmodular, **kwargs):
+        return cls.from_microgrid(super().from_nonmodular(nonmodular), **kwargs)
+
+    @classmethod
+    def from_scenario(cls, microgrid_number=0, **kwargs):
+        env = super().from_scenario(microgrid_number=microgrid_number)
+        if kwargs:
+            return cls.from_microgrid(env, **kwargs)
+        return env
+
+    @classmethod
+    def load(cls, stream):
+        return cls(super().load(stream))
+
     def __new__(cls, modules, *args, **kwargs):
         from pymgrid_tpu.nonmodular import NonModularMicrogrid
 
-        if isinstance(modules, (NonModularMicrogrid, Microgrid)):
-            instance = cls.from_microgrid(modules, **kwargs)
-        elif isinstance(modules, int):
-            instance = cls.from_scenario(modules, **kwargs)
+        if isinstance(modules, int):
+            dispatch = cls.from_scenario
+        elif isinstance(modules, (NonModularMicrogrid, Microgrid)):
+            dispatch = cls.from_microgrid
         else:
             return super().__new__(cls)
 
+        # an alternate constructor built the instance; suppress the __init__
+        # call Python makes next (one-shot, reference envs/base/skip_init.py)
+        instance = dispatch(modules, **kwargs)
         cls.__init__ = skip_init(cls, cls.__init__)
         return instance
 
@@ -72,91 +105,84 @@ class BaseMicrogridEnv(Microgrid):
             self._get_observation_space()
         )
 
+    # ------------------------------------------------------------- spaces
     def _validate_observation_keys(self, keys):
         if not keys:
             return keys
         if isinstance(keys, str):
             keys = [keys]
 
-        possible_keys = self.state_series().index.get_level_values(-1).unique()
-        bad_keys = [key for key in keys if key not in possible_keys]
-        if bad_keys:
-            raise NameError(f"Keys {bad_keys} not found in state.")
+        known = self.state_series().index.get_level_values(-1).unique()
+        unknown = [key for key in keys if key not in known]
+        if unknown:
+            raise NameError(f"Keys {unknown} not found in state.")
         return keys
 
     def _get_action_space(self, remove_redundant_actions=False):
         raise NotImplementedError
 
-    def _get_observation_space(self):
-        import numpy as np
+    def _filtered_obs_box(self, normalized_space, per_module_state):
+        """Box over the observation keys present in this module's state."""
+        index = per_module_state.index
+        locs = [
+            index.get_loc(key) for key in self.observation_keys if key in index
+        ]
+        if not locs:
+            return None
+        return Box(
+            normalized_space.low[locs],
+            normalized_space.high[locs],
+            shape=(len(locs),),
+        )
 
-        obs_space = {}
+    def _get_observation_space(self):
+        per_name = {}
         state_series = self.state_series()
 
         for name, module_list in self.modules.iterdict():
-            tup = []
+            boxes = []
             for module_num, module in enumerate(module_list):
                 normalized_space = module.observation_space["normalized"]
 
                 if not self.observation_keys:
-                    tup.append(normalized_space)
-                else:
-                    try:
-                        relevant = state_series.loc[(name, module_num)]
-                    except KeyError:
-                        continue
-                    relevant_idx = relevant.index
-                    locs = [
-                        relevant_idx.get_loc(key)
-                        for key in self.observation_keys
-                        if key in relevant_idx
-                    ]
-                    if locs:
-                        tup.append(
-                            Box(
-                                normalized_space.low[locs],
-                                normalized_space.high[locs],
-                                shape=(len(locs),),
-                            )
-                        )
-            if tup:
-                obs_space[name] = Tuple(tup)
+                    boxes.append(normalized_space)
+                    continue
+                try:
+                    per_module_state = state_series.loc[(name, module_num)]
+                except KeyError:
+                    continue
+                box = self._filtered_obs_box(normalized_space, per_module_state)
+                if box is not None:
+                    boxes.append(box)
+            if boxes:
+                per_name[name] = Tuple(boxes)
 
-        obs_space = Dict(obs_space)
-        return (
-            flatten_space(obs_space) if self._flat_spaces else obs_space
-        ), obs_space
+        nested = Dict(per_name)
+        flat_or_nested = flatten_space(nested) if self._flat_spaces else nested
+        return flat_or_nested, nested
 
+    # -------------------------------------------------------- gym surface
     def reset(self):
-        obs = super().reset()
-        return self._get_obs(obs)
+        return self._get_obs(super().reset())
 
     def step(self, action, normalized=True):
         obs, reward, done, info = self.run(action, normalized=normalized)
-        obs = self._get_obs(obs)
-        return obs, reward, done, info
+        return self._get_obs(obs), reward, done, info
 
     def _get_obs(self, obs):
         import pandas as pd
 
         if self.observation_keys:
-            obs = self.state_series(normalized=True).loc[
-                pd.IndexSlice[:, :, self.observation_keys]
-            ]
+            key_slice = pd.IndexSlice[:, :, self.observation_keys]
+            selected = self.state_series(normalized=True).loc[key_slice]
             if self._flat_spaces:
-                obs = obs.values
-            else:
-                obs = (
-                    obs.to_frame()
-                    .unstack(level=1)
-                    .T.droplevel(level=1, axis=1)
-                    .to_dict(orient="list")
-                )
-        elif self._flat_spaces:
-            obs = flatten(
-                self._nested_observation_space,
-                {k: v for k, v in obs.items() if k in self._nested_observation_space.spaces},
-            )
+                return selected.values
+            by_module = selected.to_frame().unstack(level=1)
+            return by_module.T.droplevel(level=1, axis=1).to_dict(orient="list")
+        if self._flat_spaces:
+            known_spaces = self._nested_observation_space.spaces
+            kept = {k: v for k, v in obs.items() if k in known_spaces}
+            return flatten(self._nested_observation_space, kept)
         return obs
 
     def render(self, mode="human"):
@@ -169,39 +195,3 @@ class BaseMicrogridEnv(Microgrid):
     @property
     def flat_spaces(self):
         return self._flat_spaces
-
-    @classmethod
-    def from_microgrid(cls, microgrid, **kwargs):
-        try:
-            modules = microgrid.modules
-        except AttributeError:
-            from pymgrid_tpu.nonmodular import NonModularMicrogrid
-
-            assert isinstance(microgrid, NonModularMicrogrid)
-            return cls.from_nonmodular(microgrid, **kwargs)
-
-        kwargs = kwargs.copy()
-        kwargs["add_unbalanced_module"] = kwargs.pop("add_unbalanced_module", False)
-        kwargs["reward_shaping_func"] = kwargs.pop(
-            "reward_shaping_func", microgrid.reward_shaping_func
-        )
-        kwargs["trajectory_func"] = kwargs.pop(
-            "trajectory_func", microgrid.trajectory_func
-        )
-        return cls(modules.to_tuples(), **kwargs)
-
-    @classmethod
-    def from_nonmodular(cls, nonmodular, **kwargs):
-        microgrid = super().from_nonmodular(nonmodular)
-        return cls.from_microgrid(microgrid, **kwargs)
-
-    @classmethod
-    def from_scenario(cls, microgrid_number=0, **kwargs):
-        env = super().from_scenario(microgrid_number=microgrid_number)
-        if kwargs:
-            return cls.from_microgrid(env, **kwargs)
-        return env
-
-    @classmethod
-    def load(cls, stream):
-        return cls(super().load(stream))

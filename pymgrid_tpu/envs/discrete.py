@@ -1,16 +1,15 @@
 """Discrete environment: priority lists as actions.
 
-Mirrors ``src/pymgrid/envs/discrete/discrete.py``: each action index selects
-a priority list (a deployment order of the controllable modules) which is
-populated into a concrete control each step.
+Behavioral mirror of ``src/pymgrid/envs/discrete/discrete.py``: each action
+index selects a priority list (a deployment order of the controllable
+modules) which is populated into a concrete control each step.
 """
 from warnings import warn
-
-from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader
 
 from pymgrid_tpu.algos.priority_list import PriorityListAlgo
 from pymgrid_tpu.envs.base import BaseMicrogridEnv
 from pymgrid_tpu.utils.gym_spaces import Discrete
+from pymgrid_tpu.utils.serialize import PymgridDumper, PymgridLoader
 
 __all__ = ["DiscreteMicrogridEnv"]
 
@@ -19,6 +18,42 @@ class DiscreteMicrogridEnv(BaseMicrogridEnv, PriorityListAlgo):
     yaml_tag = "!DiscreteMicrogridEnv"
     yaml_loader = PymgridLoader
     yaml_dumper = PymgridDumper
+
+    def step(self, action):
+        self._microgrid_logger.log(action=action)
+        return super().step(self._get_action(action), normalized=False)
+
+    def _get_action(self, action_num):
+        if action_num not in self.action_space:
+            raise ValueError(
+                f" Action {action_num} not in action space {self.action_space}"
+            )
+        return self._populate_action(list(self.actions_list[action_num]))
+
+    def sample_action(self, strict_bound=False, sample_flex_modules=False):
+        return self.action_space.sample()
+
+    def remove_action(self, action_number):
+        if action_number not in self.action_space:
+            raise ValueError("Cannot remove action that is not in the action space!")
+        self.actions_list.pop(action_number)
+        self.action_space = Discrete(self.action_space.n - 1)
+
+    def _get_action_space(self, remove_redundant_gensets=False):
+        priority_lists = self.get_priority_lists(remove_redundant_gensets)
+        n_actions = len(priority_lists)
+        if n_actions > 1000:
+            warn(
+                f"Microgrid with {len(priority_lists[0])} fixed source modules "
+                f"defines large action space with {n_actions} elements."
+            )
+        return Discrete(n_actions), priority_lists
+
+    def compiled_env(self, dtype="float64", **kwargs):
+        """A :class:`~pymgrid_tpu.parallel.BatchedEnv` over this config."""
+        from pymgrid_tpu.parallel.batched_env import BatchedDiscreteEnv
+
+        return BatchedDiscreteEnv(self, dtype=dtype, **kwargs)
 
     def __init__(
         self,
@@ -45,44 +80,6 @@ class DiscreteMicrogridEnv(BaseMicrogridEnv, PriorityListAlgo):
         self.action_space, self.actions_list = self._get_action_space(
             remove_redundant_gensets
         )
-
-    def _get_action_space(self, remove_redundant_gensets=False):
-        priority_lists = self.get_priority_lists(remove_redundant_gensets)
-        n_actions = len(priority_lists)
-        if n_actions > 1000:
-            warn(
-                f"Microgrid with {len(priority_lists[0])} fixed source modules "
-                f"defines large action space with {n_actions} elements."
-            )
-        return Discrete(n_actions), priority_lists
-
-    def _get_action(self, action_num):
-        if action_num not in self.action_space:
-            raise ValueError(
-                f" Action {action_num} not in action space {self.action_space}"
-            )
-        priority_list = list(self.actions_list[action_num])
-        return self._populate_action(priority_list)
-
-    def remove_action(self, action_number):
-        if action_number not in self.action_space:
-            raise ValueError("Cannot remove action that is not in the action space!")
-        self.actions_list.pop(action_number)
-        self.action_space = Discrete(self.action_space.n - 1)
-
-    def step(self, action):
-        self._microgrid_logger.log(action=action)
-        microgrid_action = self._get_action(action)
-        return super().step(microgrid_action, normalized=False)
-
-    def sample_action(self, strict_bound=False, sample_flex_modules=False):
-        return self.action_space.sample()
-
-    def compiled_env(self, dtype="float64", **kwargs):
-        """A :class:`~pymgrid_tpu.parallel.BatchedEnv` over this config."""
-        from pymgrid_tpu.parallel.batched_env import BatchedDiscreteEnv
-
-        return BatchedDiscreteEnv(self, dtype=dtype, **kwargs)
 
     def __repr__(self):
         return f"DiscreteMicrogridEnv({super().__repr__()}"
