@@ -1,18 +1,23 @@
 """Control outputs and benchmark orchestration.
 
-Mirror of ``src/pymgrid/algos/Control.py``: record-frame containers with
-cost-based ordering (:class:`ControlOutput`, :class:`HorizonOutput`) and the
-:class:`Benchmarks` runner that orchestrates RBC/MPC/SAA on a microgrid and
-prints cost summaries with optional train/test splits.
+Behavioral mirror of ``src/pymgrid/algos/Control.py``: record-frame
+containers with cost-based ordering (:class:`ControlOutput`,
+:class:`HorizonOutput`) and the :class:`Benchmarks` runner that orchestrates
+RBC/MPC/SAA on a microgrid and prints cost summaries with optional
+train/test splits.
 """
 from copy import deepcopy
+from functools import total_ordering
 
 import numpy as np
 import pandas as pd
 
 __all__ = ["HorizonOutput", "ControlOutput", "Benchmarks"]
 
+_RECORD_NAMES = ("action", "status", "production", "cost", "co2")
 
+
+@total_ordering
 class HorizonOutput:
     """One MPC horizon's control dicts plus the cost over the horizon."""
 
@@ -24,26 +29,22 @@ class HorizonOutput:
         self.first_dict = control_dicts[0]
 
     def compute_cost_over_horizon(self, current_step):
-        horizon = self.microgrid.horizon
+        mg = self.microgrid
+        horizon = mg.horizon
+        window = slice(current_step, current_step + horizon)
+
         cost = 0.0
-        cost += (
-            self.df["loss_load"].sum()
-            * self.microgrid.parameters["cost_loss_load"].values[0]
-        )
-        if self.microgrid.architecture["genset"] == 1:
-            cost += (
-                self.df["genset"].sum() * self.microgrid.parameters["fuel_cost"].values[0]
-            )
-        if self.microgrid.architecture["grid"] == 1:
-            price_import = self.microgrid._grid_price_import.iloc[
-                current_step : current_step + horizon
-            ].values
-            price_export = self.microgrid._grid_price_export.iloc[
-                current_step : current_step + horizon
-            ].values
-            import_cost = (price_import.reshape(-1) * self.df["grid_import"]).sum()
-            export_cost = (price_export.reshape(-1) * self.df["grid_export"]).sum()
-            cost += import_cost - export_cost
+        cost += self.df["loss_load"].sum() * mg.parameters["cost_loss_load"].values[0]
+
+        if mg.architecture["genset"] == 1:
+            cost += self.df["genset"].sum() * mg.parameters["fuel_cost"].values[0]
+
+        if mg.architecture["grid"] == 1:
+            buy_price = mg._grid_price_import.iloc[window].values.reshape(-1)
+            sell_price = mg._grid_price_export.iloc[window].values.reshape(-1)
+            cost += (buy_price * self.df["grid_import"]).sum() - (
+                sell_price * self.df["grid_export"]
+            ).sum()
         return cost
 
     def __eq__(self, other):
@@ -56,44 +57,42 @@ class HorizonOutput:
             return NotImplemented
         return self.cost < other.cost
 
-    def __gt__(self, other):
-        if type(self) != type(other):
-            return NotImplemented
-        return self.cost > other.cost
 
-
+@total_ordering
 class ControlOutput(dict):
     """Dict of record frames keyed ('action', 'status', 'production', 'cost',
     'co2'), ordered by total cost."""
 
     def __init__(self, names=None, dfs=None, alg_name=None, empty=False, microgrid=None):
-        if not empty:
-            if names is None:
-                raise TypeError("names cannot be None unless initializing empty and empty=True")
-            if dfs is None:
-                raise TypeError("dfs cannot be None unless initializing empty and empty=True")
-            if alg_name is None:
-                raise TypeError("alg_name cannot be None unless initializing empty and empty=True")
-
-            names_needed = ("action", "status", "production", "cost", "co2")
-            if any(needed not in names for needed in names_needed):
-                raise ValueError(
-                    f"Names must contain {names_needed}, currently contains {names}"
+        if empty:
+            names = _RECORD_NAMES
+            dfs = tuple(
+                deepcopy(getattr(microgrid, attr))
+                for attr in (
+                    "_df_record_control_dict",
+                    "_df_record_state",
+                    "_df_record_actual_production",
+                    "_df_record_cost",
+                    "_df_record_co2",
                 )
-            super().__init__(zip(names, dfs))
-        else:
-            names = ("action", "status", "production", "cost", "co2")
-            dfs = (
-                deepcopy(microgrid._df_record_control_dict),
-                deepcopy(microgrid._df_record_state),
-                deepcopy(microgrid._df_record_actual_production),
-                deepcopy(microgrid._df_record_cost),
-                deepcopy(microgrid._df_record_co2),
             )
-            super().__init__(zip(names, dfs))
+        else:
+            for arg_name, arg in (("names", names), ("dfs", dfs), ("alg_name", alg_name)):
+                if arg is None:
+                    raise TypeError(
+                        f"{arg_name} cannot be None unless initializing empty and empty=True"
+                    )
+            if any(needed not in names for needed in _RECORD_NAMES):
+                raise ValueError(
+                    f"Names must contain {_RECORD_NAMES}, currently contains {names}"
+                )
 
+        super().__init__(zip(names, dfs))
         self.alg_name = alg_name
         self.microgrid = microgrid
+
+    def _total_cost(self):
+        return np.sum(self["cost"]["total_cost"])
 
     def append(self, other_output, actual_load=None, actual_pv=None, actual_grid=None,
                slice_to_use=0):
@@ -102,65 +101,64 @@ class ControlOutput(dict):
                 if name not in other_output.keys():
                     raise KeyError(f"name {name} not founds in other_output keys")
                 self[name].append(other_output[name].iloc[slice_to_use], ignore_index=True)
-        elif isinstance(other_output, HorizonOutput):
-            action, production = self["action"], self["production"]
-            cost, status, co2 = self["cost"], self["status"], self["co2"]
-            mg = self.microgrid
+            return
 
-            action = mg._record_action(other_output.first_dict, action)
-            production = mg._record_production(other_output.first_dict, production, status)
-            last_prod = {key: production[key][-1] for key in production}
-            i = other_output.current_step
+        if not isinstance(other_output, HorizonOutput):
+            return
 
-            if mg.architecture["grid"] == 1:
-                co2 = mg._record_co2(last_prod, co2, mg._grid_co2.iloc[i].values[0])
-                status = mg._update_status(
-                    last_prod, status, actual_load, actual_pv, actual_grid,
-                    mg._grid_price_import.iloc[i + 1].values[0],
-                    mg._grid_price_export.iloc[i + 1].values[0],
-                    mg._grid_co2.iloc[i + 1].values[0],
-                )
-                cost = mg._record_cost(
-                    last_prod, cost, co2,
-                    mg._grid_price_import.iloc[i, 0], mg._grid_price_export.iloc[i, 0],
-                )
-            else:
-                co2 = mg._record_co2(last_prod, co2)
-                status = mg._update_status(last_prod, status, actual_load, actual_pv)
-                cost = mg._record_cost(last_prod, cost, co2)
+        mg = self.microgrid
+        step = other_output.current_step
 
-            self["action"] = action
-            self["production"] = production
-            self["cost"] = cost
-            self["status"] = status
-            self["co2"] = co2
+        action = mg._record_action(other_output.first_dict, self["action"])
+        production = mg._record_production(
+            other_output.first_dict, self["production"], self["status"]
+        )
+        last_prod = {key: production[key][-1] for key in production}
+
+        if mg.architecture["grid"] == 1:
+            co2 = mg._record_co2(last_prod, self["co2"], mg._grid_co2.iloc[step].values[0])
+            status = mg._update_status(
+                last_prod, self["status"], actual_load, actual_pv, actual_grid,
+                mg._grid_price_import.iloc[step + 1].values[0],
+                mg._grid_price_export.iloc[step + 1].values[0],
+                mg._grid_co2.iloc[step + 1].values[0],
+            )
+            cost = mg._record_cost(
+                last_prod, self["cost"], co2,
+                mg._grid_price_import.iloc[step, 0], mg._grid_price_export.iloc[step, 0],
+            )
+        else:
+            co2 = mg._record_co2(last_prod, self["co2"])
+            status = mg._update_status(last_prod, self["status"], actual_load, actual_pv)
+            cost = mg._record_cost(last_prod, self["cost"], co2)
+
+        self["action"] = action
+        self["production"] = production
+        self["cost"] = cost
+        self["status"] = status
+        self["co2"] = co2
 
     def to_frame(self):
-        d, max_len = dict(), -np.inf
-        for k_1, v_1 in self.items():
-            for k_2, v_2 in v_1.items():
-                if len(v_2) > max_len:
-                    max_len = len(v_2)
-                d[(k_1, k_2)] = v_2
-        for _, v in d.items():
-            if len(v) < max_len:
-                v.extend([np.nan] * (max_len - len(v)))
-        return pd.DataFrame(d)
+        flattened = {
+            (record, field): values
+            for record, frame in self.items()
+            for field, values in frame.items()
+        }
+        longest = max((len(v) for v in flattened.values()), default=0)
+        for values in flattened.values():
+            if len(values) < longest:
+                values.extend([np.nan] * (longest - len(values)))
+        return pd.DataFrame(flattened)
 
     def __eq__(self, other):
         if type(self) != type(other):
             return NotImplemented
-        return np.sum(self["cost"]["total_cost"]) == np.sum(other["cost"]["total_cost"])
+        return self._total_cost() == other._total_cost()
 
     def __lt__(self, other):
         if type(self) != type(other):
             return NotImplemented
-        return np.sum(self["cost"]["total_cost"]) < np.sum(other["cost"]["total_cost"])
-
-    def __gt__(self, other):
-        if type(self) != type(other):
-            return NotImplemented
-        return np.sum(self["cost"]["total_cost"]) > np.sum(other["cost"]["total_cost"])
+        return self._total_cost() < other._total_cost()
 
 
 class Benchmarks:
@@ -192,28 +190,25 @@ class Benchmarks:
         self.outputs_dict["mpc"] = self.mpc_output
 
     def run_rule_based_benchmark(self, **kwargs):
-        if not self.is_modular:
+        if self.is_modular:
+            from pymgrid_tpu.algos.rbc import RuleBasedControl
+
+            self.rule_based_output = RuleBasedControl(self.microgrid).run_compiled(**kwargs)
+        else:
             # Legacy path (the reference's only path, Control.py:284-294):
             # NonModularRuleBasedControl returning a ControlOutput.
             from pymgrid_tpu.algos.nonmodular_rbc import NonModularRuleBasedControl
 
             rbc = NonModularRuleBasedControl(self.microgrid)
             self.rule_based_output = rbc.run_rule_based(**kwargs)
-        else:
-            from pymgrid_tpu.algos.rbc import RuleBasedControl
-
-            rbc = RuleBasedControl(self.microgrid)
-            self.rule_based_output = rbc.run_compiled(**kwargs)
         self.has_rule_based_benchmark = True
         self.outputs_dict["rbc"] = self.rule_based_output
 
     def run_saa_benchmark(self, preset_to_use=85, **kwargs):
         from pymgrid_tpu.algos.saa import SampleAverageApproximation
 
-        microgrid = (
-            self.microgrid if not self.is_modular else self.microgrid.to_nonmodular()
-        )
-        saa = SampleAverageApproximation(microgrid, preset_to_use=preset_to_use)
+        target = self.microgrid.to_nonmodular() if self.is_modular else self.microgrid
+        saa = SampleAverageApproximation(target, preset_to_use=preset_to_use)
         self.saa_output = saa.run(**kwargs)
         self.has_saa_benchmark = True
         self.outputs_dict["saa"] = self.saa_output
@@ -242,14 +237,13 @@ class Benchmarks:
     def describe_benchmarks(self, test_split=False, test_ratio=None, test_index=None,
                             algorithms=None):
         possible = ("saa", "mpc", "rbc")
-        if algorithms is not None:
-            if any(name not in possible for name in algorithms):
-                raise ValueError(
-                    f"Unable to recognize one or multiple of list_of_benchmarks: "
-                    f"{algorithms}, can only contain {possible}"
-                )
-        else:
+        if algorithms is None:
             algorithms = possible
+        elif any(name not in possible for name in algorithms):
+            raise ValueError(
+                f"Unable to recognize one or multiple of list_of_benchmarks: "
+                f"{algorithms}, can only contain {possible}"
+            )
 
         series = {
             name: self._total_cost_series(out)

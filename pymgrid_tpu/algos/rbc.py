@@ -1,7 +1,7 @@
 """Rule-based control.
 
-Mirrors ``src/pymgrid/algos/rbc/rbc.py``: deploy modules every step in a
-fixed priority order (lowest marginal cost first by default).
+Behavioral mirror of ``src/pymgrid/algos/rbc/rbc.py``: deploy modules every
+step in a fixed priority order (lowest marginal cost first by default).
 
 ``run`` executes on the host layer; ``run_compiled`` executes the identical
 policy inside the compiled engine as one ``lax.scan`` program
@@ -16,25 +16,36 @@ __all__ = ["RuleBasedControl"]
 
 
 class RuleBasedControl(PriorityListAlgo):
+    # host plumbing for the PriorityListAlgo mixin
+    microgrid = property(lambda self: self._microgrid)
+    modules = property(lambda self: self._microgrid.modules)
+    fixed = property(lambda self: self._microgrid.fixed)
+    flex = property(lambda self: self._microgrid.flex)
+    priority_list = property(lambda self: self._priority_list)
+
     def __init__(self, microgrid, priority_list=None, remove_redundant_gensets=True):
         super().__init__()
         self._microgrid = deepcopy(microgrid)
-        self._priority_list = self._get_priority_list(
+        self._priority_list = self._resolve_priority_list(
             priority_list, remove_redundant_gensets
         )
 
-    def _get_priority_list(self, priority_list, remove_redundant_gensets):
-        priority_lists = self.get_priority_lists(
+    def _resolve_priority_list(self, priority_list, remove_redundant_gensets):
+        candidates = self.get_priority_lists(
             remove_redundant_gensets=remove_redundant_gensets
         )
         if priority_list is None:
-            return sorted(priority_lists[0])
-        if priority_list not in priority_lists:
+            # cheapest-first deployment order
+            return sorted(candidates[0])
+        if priority_list not in candidates:
             raise ValueError(
                 "Invalid priority list. Use RuleBasedControl.get_priority_lists to "
                 "view all valid priority lists."
             )
         return priority_list
+
+    def get_empty_action(self):
+        return self._microgrid.get_empty_action()
 
     def _get_action(self):
         return self._populate_action(self._priority_list)
@@ -49,18 +60,17 @@ class RuleBasedControl(PriorityListAlgo):
 
         self.reset()
 
-        iterator = range(max_steps)
+        steps = range(max_steps)
         if verbose:
             try:
                 from tqdm import tqdm
 
-                iterator = tqdm(iterator, desc="RBC Progress")
+                steps = tqdm(steps, desc="RBC Progress")
             except ImportError:
                 pass
 
-        for _ in iterator:
-            action = self._get_action()
-            _, _, done, _ = self._microgrid.run(action, normalized=False)
+        for _ in steps:
+            _, _, done, _ = self._microgrid.run(self._get_action(), normalized=False)
             if done:
                 break
 
@@ -91,26 +101,3 @@ class RuleBasedControl(PriorityListAlgo):
             compiled.spec, compiled.params, state, policy, max_steps
         )
         return compiled.log_frame(np.asarray(outputs.log_row))
-
-    def get_empty_action(self):
-        return self._microgrid.get_empty_action()
-
-    @property
-    def microgrid(self):
-        return self._microgrid
-
-    @property
-    def fixed(self):
-        return self._microgrid.fixed
-
-    @property
-    def flex(self):
-        return self._microgrid.flex
-
-    @property
-    def modules(self):
-        return self._microgrid.modules
-
-    @property
-    def priority_list(self):
-        return self._priority_list

@@ -1,10 +1,11 @@
 """Sample Average Approximation stochastic MPC.
 
-Mirror of ``src/pymgrid/algos/saa/saa.py``: sample N noisy (pv, load, grid)
-futures, run one MPC horizon per sample per step, pick the output at the
-``optimal_percentile`` of horizon cost, and append it to a running
-:class:`~pymgrid_tpu.algos.control.ControlOutput`.  Operates on the legacy
-nonmodular representation.
+Behavioral mirror of ``src/pymgrid/algos/saa/saa.py``: sample N noisy
+(pv, load, grid) futures, run one MPC horizon per sample per step, pick the
+output at the ``optimal_percentile`` of horizon cost, and append it to a
+running :class:`~pymgrid_tpu.algos.control.ControlOutput`.  Operates on the
+legacy nonmodular representation.  For the on-chip batched version see
+:mod:`pymgrid_tpu.algos.saa_jax`.
 """
 import time
 
@@ -16,6 +17,8 @@ from pymgrid_tpu.algos.mpc import ModelPredictiveControl
 from pymgrid_tpu.utils.data_generator import SampleGenerator
 
 __all__ = ["SampleAverageApproximation"]
+
+_SAMPLE_COLUMNS = ("pv", "load", "grid")
 
 
 class SampleAverageApproximation(SampleGenerator):
@@ -40,7 +43,7 @@ class SampleAverageApproximation(SampleGenerator):
         if self.samples is None or not use_previous_samples:
             self.samples = self.sample_from_forecasts(n_samples=n_samples, **kwargs)
 
-        t0 = time.time()
+        started = time.time()
         output = self.run_mpc_on_group(
             self.samples,
             forecast_steps=forecast_steps,
@@ -48,88 +51,92 @@ class SampleAverageApproximation(SampleGenerator):
             verbose=verbose,
         )
         if verbose:
-            print(f"Running time: {round(time.time() - t0)}")
+            print(f"Running time: {round(time.time() - started)}")
         return output
+
+    # ------------------------------------------------------------ internals
+    def _resolve_forecast_steps(self, total_len, forecast_steps):
+        available = total_len - self.microgrid.horizon
+        if forecast_steps is None:
+            return available
+        if forecast_steps > available:
+            raise ValueError(
+                "forecast steps must be less than length of samples minus horizon"
+            )
+        return forecast_steps
+
+    def _record_step(self, output, horizon_output, j):
+        output.append(
+            horizon_output,
+            actual_load=self.underlying_data.loc[j, "load"],
+            actual_pv=self.underlying_data.loc[j, "pv"],
+            actual_grid=self.underlying_data.loc[j, "grid"],
+        )
+
+    @staticmethod
+    def _validate_sample(sample):
+        if not isinstance(sample, pd.DataFrame):
+            raise TypeError("samples must be pd.DataFrame")
+        if not all(needed in sample.columns.values for needed in _SAMPLE_COLUMNS):
+            raise KeyError(
+                f"samples must contain columns {_SAMPLE_COLUMNS}, currently "
+                f"contains {sample.columns.values}"
+            )
 
     def determine_optimal_actions(self, outputs=None, percentile=0.5, verbose=False):
         if percentile < 0.0 or percentile > 1.0:
             raise ValueError("percentile must be in [0,1]")
 
-        partition_val = int(np.floor(len(outputs) * percentile))
-        partition = np.partition(outputs, partition_val)
+        pivot = int(np.floor(len(outputs) * percentile))
+        partitioned = np.partition(outputs, pivot)
 
         if verbose:
-            sorted_outputs = np.sort(outputs)
-            selected = partition[partition_val]
-            for j, output in enumerate(sorted_outputs):
+            chosen = partitioned[pivot]
+            for j, output in enumerate(np.sort(outputs)):
                 print(
                     f"Output {j}, cost: {round(output.cost, 2)}, battery charge "
                     f"{round(output.first_dict['battery_charge'], 2)}, discharge "
                     f"{round(output.first_dict['battery_discharge'], 2)}:"
                 )
-                if output is selected:
+                if output is chosen:
                     print(f"Selected output {j} with percentile {percentile}")
 
-        return partition[partition_val]
+        return partitioned[pivot]
 
+    # ------------------------------------------------------------- rollouts
     def run_mpc_on_group(self, samples, forecast_steps=None, optimal_percentile=0.5,
                          verbose=False):
-        columns_needed = ("pv", "load", "grid")
         output = ControlOutput(alg_name="saa", empty=True, microgrid=self.microgrid)
+        n_steps = self._resolve_forecast_steps(
+            min(len(sample) for sample in samples), forecast_steps
+        )
 
-        T = min(len(sample) for sample in samples)
-        if forecast_steps is None:
-            forecast_steps = T - self.microgrid.horizon
-        elif forecast_steps > T - self.microgrid.horizon:
-            raise ValueError("forecast steps must be less than length of samples minus horizon")
-
-        for j in range(forecast_steps):
+        for j in range(n_steps):
             if verbose:
                 print(f"iter {j}")
 
             horizon_outputs = []
             for sample in samples:
-                if not isinstance(sample, pd.DataFrame):
-                    raise TypeError("samples must be pd.DataFrame")
-                if not all(needed in sample.columns.values for needed in columns_needed):
-                    raise KeyError(
-                        f"samples must contain columns {columns_needed}, currently "
-                        f"contains {sample.columns.values}"
-                    )
+                self._validate_sample(sample)
                 sample.iloc[j] = self.underlying_data.iloc[j]  # actual data at t
                 horizon_outputs.append(self.mpc.mpc_single_step(sample, output, j))
 
-            optimal_output = self.determine_optimal_actions(
+            best = self.determine_optimal_actions(
                 outputs=horizon_outputs, percentile=optimal_percentile
             )
-            output.append(
-                optimal_output,
-                actual_load=self.underlying_data.loc[j, "load"],
-                actual_pv=self.underlying_data.loc[j, "pv"],
-                actual_grid=self.underlying_data.loc[j, "grid"],
-            )
+            self._record_step(output, best, j)
 
         return output
 
     def run_deterministic_on_forecast(self, forecast_steps=None, verbose=False):
         sample = self.forecasts.copy()
         output = ControlOutput(alg_name="mpc", empty=True, microgrid=self.microgrid)
+        n_steps = self._resolve_forecast_steps(len(sample), forecast_steps)
 
-        T = len(sample)
-        if forecast_steps is None:
-            forecast_steps = T - self.microgrid.horizon
-        elif forecast_steps > T - self.microgrid.horizon:
-            raise ValueError("forecast steps must be less than length of samples minus horizon")
-
-        for j in range(forecast_steps):
+        for j in range(n_steps):
             if verbose:
                 print(f"iter {j}")
             sample.iloc[j] = self.underlying_data.iloc[j]
             horizon_output = self.mpc.mpc_single_step(sample, output, j)
-            output.append(
-                horizon_output,
-                actual_load=self.underlying_data.loc[j, "load"],
-                actual_pv=self.underlying_data.loc[j, "pv"],
-                actual_grid=self.underlying_data.loc[j, "grid"],
-            )
+            self._record_step(output, horizon_output, j)
         return output
