@@ -19,24 +19,23 @@ __all__ = ["to_modular", "to_nonmodular"]
 def to_modular(nonmodular, raise_errors=False):
     from pymgrid_tpu.microgrid import Microgrid
 
-    modules = [
-        ("load", get_module("load", nonmodular, raise_errors)),
-        ("unbalanced_energy", get_module("unbalanced_energy", nonmodular, raise_errors)),
+    component_names = ["load", "unbalanced_energy"]
+    component_names += [c for c, present in nonmodular.architecture.items() if present]
+
+    named_modules = [
+        (name, get_module(name, nonmodular, raise_errors)) for name in component_names
     ]
-    for component, exists in nonmodular.architecture.items():
-        if exists:
-            modules.append((component, get_module(component, nonmodular, raise_errors)))
-    return Microgrid(modules, add_unbalanced_module=False)
+    return Microgrid(named_modules, add_unbalanced_module=False)
 
 
 def to_nonmodular(modular):
     from pymgrid_tpu.nonmodular import NonModularMicrogrid
 
     check_viability(modular)
-    microgrid_params = get_empty_params()
+    record = get_empty_params()
     for _, module_list in modular.modules.iterdict():
-        add_params_from_module(module_list[0], microgrid_params)
-    finalize_params(microgrid_params)
+        add_params_from_module(module_list[0], record)
+    finalize_params(record)
     return NonModularMicrogrid(
-        parameters=microgrid_params, horizon=modular.get_forecast_horizon() + 1
+        parameters=record, horizon=modular.get_forecast_horizon() + 1
     )
