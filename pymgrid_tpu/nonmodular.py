@@ -1,6 +1,6 @@
 """Legacy non-modular microgrid.
 
-Mirror of the reference's DataFrame-record monolith
+Behavioral mirror of the reference's DataFrame-record monolith
 (``src/pymgrid/_deprecated/non_modular_microgrid.py:220``): the substrate the
 pymgrid25 suite was generated on, consumed by the legacy MPC/SAA paths, the
 sample generators, and the conversion layer.  Simulation is a per-step record
@@ -17,6 +17,10 @@ import numpy as np
 
 __all__ = ["NonModularMicrogrid", "Battery", "Genset", "Grid", "in_ipynb"]
 
+DEFAULT_HORIZON = 24  # hours
+DEFAULT_TIMESTEP = 1  # hours
+ZERO = 10**-5
+
 
 def in_ipynb():
     """True when running inside an IPython notebook kernel (reference
@@ -29,40 +33,50 @@ def in_ipynb():
     except Exception:
         return False
 
-DEFAULT_HORIZON = 24  # hours
-DEFAULT_TIMESTEP = 1  # hours
-ZERO = 10**-5
+
+def _scalar(params, key):
+    return params[key].values[0]
 
 
 class Battery:
     """Parameter holder for notebook-style access (reference lines 57-123)."""
 
+    _PARAM_FIELDS = (
+        ("soc", "battery_soc_0"),
+        ("capacity", "battery_capacity"),
+        ("soc_max", "battery_soc_max"),
+        ("soc_min", "battery_soc_min"),
+        ("p_charge_max", "battery_power_charge"),
+        ("p_discharge_max", "battery_power_discharge"),
+        ("efficiency", "battery_efficiency"),
+        ("cost_cycle", "battery_cost_cycle"),
+    )
+
     def __init__(self, param_battery, capa_to_charge, capa_to_discharge):
-        self.soc = param_battery["battery_soc_0"].values[0]
-        self.capacity = param_battery["battery_capacity"].values[0]
-        self.soc_max = param_battery["battery_soc_max"].values[0]
-        self.soc_min = param_battery["battery_soc_min"].values[0]
-        self.p_charge_max = param_battery["battery_power_charge"].values[0]
-        self.p_discharge_max = param_battery["battery_power_discharge"].values[0]
-        self.efficiency = param_battery["battery_efficiency"].values[0]
-        self.cost_cycle = param_battery["battery_cost_cycle"].values[0]
+        for attr, key in self._PARAM_FIELDS:
+            setattr(self, attr, _scalar(param_battery, key))
         self.capa_to_charge = capa_to_charge
         self.capa_to_discharge = capa_to_discharge
 
 
 class Genset:
+    _PARAM_FIELDS = (
+        ("rated_power", "genset_rated_power"),
+        ("p_min", "genset_pmin"),
+        ("p_max", "genset_pmax"),
+        ("fuel_cost", "fuel_cost"),
+        ("co2", "genset_co2"),
+    )
+
     def __init__(self, param):
-        self.rated_power = param["genset_rated_power"].values[0]
-        self.p_min = param["genset_pmin"].values[0]
-        self.p_max = param["genset_pmax"].values[0]
-        self.fuel_cost = param["fuel_cost"].values[0]
-        self.co2 = param["genset_co2"].values[0]
+        for attr, key in self._PARAM_FIELDS:
+            setattr(self, attr, _scalar(param, key))
 
 
 class Grid:
     def __init__(self, param, status, price_import, price_export, co2):
-        self.power_export = param["grid_power_export"].values[0]
-        self.power_import = param["grid_power_import"].values[0]
+        self.power_export = _scalar(param, "grid_power_export")
+        self.power_import = _scalar(param, "grid_power_import")
         self.price_export = price_export
         self.price_import = price_import
         self.status = status
@@ -70,55 +84,72 @@ class Grid:
 
 
 class NonModularMicrogrid:
+    # attribute name on self -> key in the legacy parameter record
+    _RECORD_BINDINGS = (
+        ("parameters", "parameters"),
+        ("architecture", "architecture"),
+        ("_load_ts", "load"),
+        ("_pv_ts", "pv"),
+        ("_df_record_control_dict", "df_actions"),
+        ("_df_record_state", "df_status"),
+        ("_df_record_actual_production", "df_actual_generation"),
+        ("_df_record_cost", "df_cost"),
+        ("_df_record_co2", "df_co2"),
+        ("control_dict", "control_dict"),
+    )
+    _GRID_BINDINGS = (
+        ("_grid_status_ts", "grid_ts"),
+        ("_grid_price_import", "grid_price_import"),
+        ("_grid_price_export", "grid_price_export"),
+        ("_grid_co2", "grid_co2"),
+    )
+
     def __init__(self, parameters, horizon=DEFAULT_HORIZON, timestep=DEFAULT_TIMESTEP):
-        self.parameters = parameters["parameters"]
-        self.architecture = parameters["architecture"]
-        self._load_ts = parameters["load"]
-        self._pv_ts = parameters["pv"]
+        for attr, record_key in self._RECORD_BINDINGS:
+            setattr(self, attr, parameters[record_key])
 
         self.pv = self._pv_ts.iloc[0, 0]
         self.load = self._load_ts.iloc[0, 0]
         self._next_load = self._load_ts.iloc[1, 0]
         self._next_pv = self._pv_ts.iloc[1, 0]
-        if parameters["architecture"]["grid"] == 1:
-            self._grid_status_ts = parameters["grid_ts"]
-            self._grid_price_import = parameters["grid_price_import"]
-            self._grid_price_export = parameters["grid_price_export"]
-            self._grid_co2 = parameters["grid_co2"]
-
+        if self._has("grid"):
+            for attr, record_key in self._GRID_BINDINGS:
+                setattr(self, attr, parameters[record_key])
             self._next_grid_status = self._grid_status_ts.iloc[0, 0]
             self._next_grid_price_export = self._grid_price_export.iloc[0, 0]
             self._next_grid_price_import = self._grid_price_import.iloc[0, 0]
             self._next_grid_co2 = self._grid_co2.iloc[0, 0]
 
-        self._df_record_control_dict = parameters["df_actions"]
-        self._df_record_state = parameters["df_status"]
-        self._df_record_actual_production = parameters["df_actual_generation"]
-        self._df_record_cost = parameters["df_cost"]
-        self._df_record_co2 = parameters["df_co2"]
-        self._df_cost_per_epochs = []
-        self.horizon = horizon
-        self._tracking_timestep = 0
-        self._data_length = min(self._load_ts.shape[0], self._pv_ts.shape[0])
-        self.done = False
-        self._has_run_rule_based_baseline = False
-        self._has_run_mpc_baseline = False
-        self._has_train_test_split = False
-        self._epoch = 0
-        self._zero = ZERO
-        self.control_dict = parameters["control_dict"]
-        self._data_set_to_use_default = "all"
-        self._data_set_to_use = "all"
+        self.__dict__.update(
+            _df_cost_per_epochs=[],
+            horizon=horizon,
+            _tracking_timestep=0,
+            _data_length=min(self._load_ts.shape[0], self._pv_ts.shape[0]),
+            done=False,
+            _has_run_rule_based_baseline=False,
+            _has_run_mpc_baseline=False,
+            _has_train_test_split=False,
+            _epoch=0,
+            _zero=ZERO,
+            _data_set_to_use_default="all",
+            _data_set_to_use="all",
+        )
 
-        if self.architecture["battery"] == 1:
+        self._build_component_views()
+
+    def _has(self, component):
+        return self.architecture[component] == 1
+
+    def _build_component_views(self):
+        if self._has("battery"):
             self.battery = Battery(
                 self.parameters,
                 self._df_record_state["capa_to_charge"][0],
                 self._df_record_state["capa_to_discharge"][0],
             )
-        if self.architecture["genset"] == 1:
+        if self._has("genset"):
             self.genset = Genset(self.parameters)
-        if self.architecture["grid"] == 1:
+        if self._has("grid"):
             self.grid = Grid(
                 self.parameters,
                 self._grid_status_ts.iloc[0, 0],
@@ -138,15 +169,16 @@ class NonModularMicrogrid:
         return self._load_ts, self._pv_ts
 
     def get_training_testing_data(self):
-        if self._has_train_test_split:
-            return (
-                self._limit_index,
-                self._load_train,
-                self._pv_train,
-                self._load_test,
-                self._pv_test,
-            )
-        print("You have not split the dataset into training and testing sets")
+        if not self._has_train_test_split:
+            print("You have not split the dataset into training and testing sets")
+            return None
+        return (
+            self._limit_index,
+            self._load_train,
+            self._pv_train,
+            self._load_test,
+            self._pv_test,
+        )
 
     def get_control_dict(self):
         return self.control_dict
@@ -172,13 +204,12 @@ class NonModularMicrogrid:
         return all_ts
 
     def _window(self, ts):
-        return ts.iloc[
-            self._tracking_timestep : self._tracking_timestep + self.horizon
-        ].values.flatten()
+        t = self._tracking_timestep
+        return ts.iloc[t : t + self.horizon].values.flatten()
 
     def forecast_all(self):
         forecast = {"pv": self.forecast_pv(), "load": self.forecast_load()}
-        if self.architecture["grid"] == 1:
+        if self._has("grid"):
             forecast["grid_status"] = self.forecast_grid_status()
             forecast["grid_import"], forecast["grid_export"] = self.forecast_grid_prices()
             forecast["grid_co2"] = self.forecast_grid_co2()
@@ -201,17 +232,17 @@ class NonModularMicrogrid:
         )
 
     def forecast_grid_prices(self):
-        imp = self._window(
+        buy = self._window(
             self._active(
                 self._grid_price_import, "_grid_price_import_train", "_grid_price_import_test"
             )
         )
-        exp = self._window(
+        sell = self._window(
             self._active(
                 self._grid_price_export, "_grid_price_export_train", "_grid_price_export_test"
             )
         )
-        return imp, exp
+        return buy, sell
 
     # ------------------------------------------------------------------- run
     def run(self, control_dict):
@@ -227,24 +258,24 @@ class NonModularMicrogrid:
             control_dict, self._df_record_actual_production, self._df_record_state
         )
 
-        last_production = {
+        realized = {
             i: self._df_record_actual_production[i][-1]
             for i in self._df_record_actual_production
         }
 
-        if self.architecture["grid"] == 1:
+        if self._has("grid"):
             self._df_record_co2 = self._record_co2(
-                last_production, self._df_record_co2, self.grid.co2
+                realized, self._df_record_co2, self.grid.co2
             )
             self._df_record_cost = self._record_cost(
-                last_production,
+                realized,
                 self._df_record_cost,
                 self._df_record_co2,
                 self.grid.price_import,
                 self.grid.price_export,
             )
             self._df_record_state = self._update_status(
-                last_production,
+                realized,
                 self._df_record_state,
                 self._next_load,
                 self._next_pv,
@@ -254,18 +285,17 @@ class NonModularMicrogrid:
                 self._next_grid_co2,
             )
         else:
-            self._df_record_co2 = self._record_co2(last_production, self._df_record_co2)
+            self._df_record_co2 = self._record_co2(realized, self._df_record_co2)
             self._df_record_cost = self._record_cost(
-                last_production, self._df_record_cost, self._df_record_co2
+                realized, self._df_record_cost, self._df_record_co2
             )
             self._df_record_state = self._update_status(
                 control_dict, self._df_record_state, self._next_load, self._next_pv
             )
 
-        if (
-            self._tracking_timestep == self._data_length - self.horizon
-            or self._tracking_timestep == self._data_length - 1
-        ):
+        at_horizon_end = self._tracking_timestep == self._data_length - self.horizon
+        at_data_end = self._tracking_timestep == self._data_length - 1
+        if at_horizon_end or at_data_end:
             self.done = True
             return self.get_updated_values()
 
@@ -275,21 +305,22 @@ class NonModularMicrogrid:
 
     def train_test_split(self, train_size=0.67, shuffle=False, cancel=False):
         if not self._has_train_test_split:
-            self._limit_index = int(np.ceil(self._data_length * train_size))
-            self._load_train = self._load_ts.iloc[: self._limit_index]
-            self._pv_train = self._pv_ts.iloc[: self._limit_index]
-            self._load_test = self._load_ts.iloc[self._limit_index :]
-            self._pv_test = self._pv_ts.iloc[self._limit_index :]
+            split = int(np.ceil(self._data_length * train_size))
+            self._limit_index = split
+            self._load_train = self._load_ts.iloc[:split]
+            self._pv_train = self._pv_ts.iloc[:split]
+            self._load_test = self._load_ts.iloc[split:]
+            self._pv_test = self._pv_ts.iloc[split:]
 
-            if self.architecture["grid"] == 1:
-                self._grid_status_train = self._grid_status_ts.iloc[: self._limit_index]
-                self._grid_status_test = self._grid_status_ts.iloc[self._limit_index :]
-                self._grid_price_import_train = self._grid_price_import.iloc[: self._limit_index]
-                self._grid_price_import_test = self._grid_price_import.iloc[self._limit_index :]
-                self._grid_price_export_train = self._grid_price_export.iloc[: self._limit_index]
-                self._grid_price_export_test = self._grid_price_export.iloc[self._limit_index :]
-                self._grid_co2_train = self._grid_co2.iloc[: self._limit_index]
-                self._grid_co2_test = self._grid_co2.iloc[self._limit_index :]
+            if self._has("grid"):
+                self._grid_status_train = self._grid_status_ts.iloc[:split]
+                self._grid_status_test = self._grid_status_ts.iloc[split:]
+                self._grid_price_import_train = self._grid_price_import.iloc[:split]
+                self._grid_price_import_test = self._grid_price_import.iloc[split:]
+                self._grid_price_export_train = self._grid_price_export.iloc[:split]
+                self._grid_price_export_test = self._grid_price_export.iloc[split:]
+                self._grid_co2_train = self._grid_co2.iloc[:split]
+                self._grid_co2_test = self._grid_co2.iloc[split:]
 
             self._has_train_test_split = True
             self._data_set_to_use_default = "training"
@@ -308,66 +339,68 @@ class NonModularMicrogrid:
         self.pv = pv_ts.iloc[t, 0]
         self.load = load_ts.iloc[t, 0]
 
-        if self._data_set_to_use == "all" and t >= self._data_length - 1:
+        off_end = self._data_set_to_use == "all" and t >= self._data_length - 1
+        if off_end:
             self._next_pv, self._next_load = None, None
         else:
             self._next_pv = pv_ts.iloc[t + 1, 0]
             self._next_load = load_ts.iloc[t + 1, 0]
 
-        if self.architecture["grid"] == 1:
+        if self._has("grid"):
             status_ts = self._active(self._grid_status_ts, "_grid_status_train", "_grid_status_test")
-            imp_ts = self._active(self._grid_price_import, "_grid_price_import_train", "_grid_price_import_test")
-            exp_ts = self._active(self._grid_price_export, "_grid_price_export_train", "_grid_price_export_test")
+            buy_ts = self._active(self._grid_price_import, "_grid_price_import_train", "_grid_price_import_test")
+            sell_ts = self._active(self._grid_price_export, "_grid_price_export_train", "_grid_price_export_test")
             co2_ts = self._active(self._grid_co2, "_grid_co2_train", "_grid_co2_test")
 
             self.grid.status = status_ts.iloc[t, 0]
-            self.grid.price_import = imp_ts.iloc[t, 0]
-            self.grid.price_export = exp_ts.iloc[t, 0]
+            self.grid.price_import = buy_ts.iloc[t, 0]
+            self.grid.price_export = sell_ts.iloc[t, 0]
             self.grid.co2 = co2_ts.iloc[t, 0]
 
-            if self._data_set_to_use == "all" and t >= self._data_length - 1:
+            if off_end:
                 self._next_grid_status = None
                 self._next_grid_price_import = None
                 self._next_grid_price_export = None
                 self._next_grid_co2 = None
             else:
                 self._next_grid_status = status_ts.iloc[t + 1, 0]
-                self._next_grid_price_import = imp_ts.iloc[t + 1, 0]
-                self._next_grid_price_export = exp_ts.iloc[t + 1, 0]
+                self._next_grid_price_import = buy_ts.iloc[t + 1, 0]
+                self._next_grid_price_export = sell_ts.iloc[t + 1, 0]
                 self._next_grid_co2 = co2_ts.iloc[t + 1, 0]
 
-        if self.architecture["battery"] == 1:
+        if self._has("battery"):
             self.battery.soc = self._df_record_state["battery_soc"][-1]
             self.battery.capa_to_discharge = self._df_record_state["capa_to_discharge"][-1]
             self.battery.capa_to_charge = self._df_record_state["capa_to_charge"][-1]
 
     def reset(self, testing=False):
         if self._data_set_to_use == "training":
-            temp_cost = copy(self._df_record_cost)
-            temp_cost["epoch"] = self._epoch
-            self._df_cost_per_epochs.append(temp_cost)
+            epoch_cost = copy(self._df_record_cost)
+            epoch_cost["epoch"] = self._epoch
+            self._df_cost_per_epochs.append(epoch_cost)
 
-        self._df_record_control_dict = {i: [] for i in self._df_record_control_dict}
         self._df_record_state = {
-            i: [self._df_record_state[i][0]] for i in self._df_record_state
+            field: [entries[0]] for field, entries in self._df_record_state.items()
         }
-        self._df_record_actual_production = {
-            i: [] for i in self._df_record_actual_production
-        }
-        self._df_record_cost = {i: [] for i in self._df_record_cost}
-        self._df_record_co2 = {i: [] for i in self._df_record_co2}
+        for frame_attr in (
+            "_df_record_control_dict",
+            "_df_record_actual_production",
+            "_df_record_cost",
+            "_df_record_co2",
+        ):
+            setattr(self, frame_attr, {field: [] for field in getattr(self, frame_attr)})
 
         self._tracking_timestep = 0
 
         if testing and self._data_set_to_use_default == "training":
             self._data_set_to_use = "testing"
             self._data_length = min(self._load_test.shape[0], self._pv_test.shape[0])
+        elif self._data_set_to_use_default == "training":
+            self._data_set_to_use = "training"
+            self._data_length = min(self._load_train.shape[0], self._pv_train.shape[0])
         else:
             self._data_set_to_use = self._data_set_to_use_default
-            if self._data_set_to_use == "training":
-                self._data_length = min(self._load_train.shape[0], self._pv_train.shape[0])
-            else:
-                self._data_length = min(self._load_ts.shape[0], self._pv_ts.shape[0])
+            self._data_length = min(self._load_ts.shape[0], self._pv_ts.shape[0])
 
         self.update_variables()
         self.done = False
@@ -377,11 +410,9 @@ class NonModularMicrogrid:
     def _record_action(self, control_dict, df):
         if not isinstance(df, dict):
             raise TypeError(f"df needs to be dict, is {type(df)}")
-        for j in df:
-            if j in control_dict.keys():
-                df[j].append(control_dict[j])
-            else:
-                df[j].append({j: 0})
+        for field in df:
+            entry = control_dict[field] if field in control_dict.keys() else {field: 0}
+            df[field].append(entry)
         return df
 
     def _update_status(
@@ -391,101 +422,95 @@ class NonModularMicrogrid:
         if not isinstance(df, dict):
             raise TypeError(f"df needs to be dict, is {type(df)}")
 
-        new_dict = {
+        incoming = {
             "load": next_load,
             "pv": next_pv,
             "hour": self._tracking_timestep % 24,
         }
-        if self.architecture["battery"] == 1:
-            params = self.parameters
-            eff = params["battery_efficiency"].values[0]
-            cap = params["battery_capacity"].values[0]
+        if self._has("battery"):
+            eff = _scalar(self.parameters, "battery_efficiency")
+            cap = _scalar(self.parameters, "battery_capacity")
             new_soc = df["battery_soc"][-1] + (
                 production_dict["battery_charge"] * eff
                 - production_dict["battery_discharge"] / eff
             ) / cap
-            capa_to_charge = max(
-                (params["battery_soc_max"].values[0] * cap - new_soc * cap) * eff, 0
+            incoming["battery_soc"] = new_soc
+            incoming["capa_to_discharge"] = max(
+                (new_soc * cap - _scalar(self.parameters, "battery_soc_min") * cap) * eff, 0
             )
-            capa_to_discharge = max(
-                (new_soc * cap - params["battery_soc_min"].values[0] * cap) * eff, 0
+            incoming["capa_to_charge"] = max(
+                (_scalar(self.parameters, "battery_soc_max") * cap - new_soc * cap) * eff, 0
             )
-            new_dict["battery_soc"] = new_soc
-            new_dict["capa_to_discharge"] = capa_to_discharge
-            new_dict["capa_to_charge"] = capa_to_charge
 
-        if self.architecture["grid"] == 1:
-            new_dict["grid_status"] = next_grid
-            new_dict["grid_price_import"] = next_price_import
-            new_dict["grid_price_export"] = next_price_export
-            new_dict["grid_co2"] = next_co2
+        if self._has("grid"):
+            incoming["grid_status"] = next_grid
+            incoming["grid_price_import"] = next_price_import
+            incoming["grid_price_export"] = next_price_export
+            incoming["grid_co2"] = next_co2
 
-        for j in df:
-            df[j].append(new_dict[j])
+        for field in df:
+            df[field].append(incoming[field])
         return df
 
     def _check_constraints_genset(self, p_genset):
-        params = self.parameters
         if p_genset < 0:
             p_genset = 0
             print("error, genset power cannot be lower than 0")
-        rated = params["genset_rated_power"].values[0]
-        if p_genset < rated * params["genset_pmin"].values[0] and p_genset > 1:
-            p_genset = rated * params["genset_pmin"].values[0]
-        if p_genset > rated * params["genset_pmax"].values[0]:
-            p_genset = rated * params["genset_pmax"].values[0]
+        rated = _scalar(self.parameters, "genset_rated_power")
+        floor = rated * _scalar(self.parameters, "genset_pmin")
+        ceiling = rated * _scalar(self.parameters, "genset_pmax")
+        # the reference only lifts to p_min above 1 (quirk kept for parity)
+        if p_genset < floor and p_genset > 1:
+            p_genset = floor
+        if p_genset > ceiling:
+            p_genset = ceiling
         return p_genset
 
     def _check_constraints_grid(self, p_import, p_export):
-        params = self.parameters
         if p_import < 0:
             p_import = 0
         if p_export < 0:
             p_export = 0
-        if p_import > params["grid_power_import"].values[0]:
-            p_import = params["grid_power_import"].values[0]
-        if p_export > params["grid_power_export"].values[0]:
-            p_export = params["grid_power_export"].values[0]
+        import_limit = _scalar(self.parameters, "grid_power_import")
+        export_limit = _scalar(self.parameters, "grid_power_export")
+        if p_import > import_limit:
+            p_import = import_limit
+        if p_export > export_limit:
+            p_export = export_limit
         return p_import, p_export
 
     def _check_constraints_battery(self, p_charge, p_discharge, status):
-        params = self.parameters
         if p_charge < 0:
             p_charge = 0
         if p_discharge < 0:
             p_discharge = 0
 
-        cap = params["battery_capacity"].values[0]
-        eff = params["battery_efficiency"].values[0]
+        cap = _scalar(self.parameters, "battery_capacity")
+        eff = _scalar(self.parameters, "battery_efficiency")
         soc = status["battery_soc"][-1]
         capa_to_charge = max(
-            (params["battery_soc_max"].values[0] * cap - soc * cap) * eff, 0
+            (_scalar(self.parameters, "battery_soc_max") * cap - soc * cap) * eff, 0
         )
         capa_to_discharge = max(
-            (soc * cap - params["battery_soc_min"].values[0] * cap) * eff, 0
+            (soc * cap - _scalar(self.parameters, "battery_soc_min") * cap) * eff, 0
         )
 
-        if p_charge > capa_to_charge or p_charge > params["battery_power_charge"].values[0]:
-            p_charge = min(capa_to_charge, params["battery_power_charge"].values[0])
-        if (
-            p_discharge > capa_to_discharge
-            or p_discharge > params["battery_power_discharge"].values[0]
-        ):
-            p_discharge = min(capa_to_discharge, params["battery_power_discharge"].values[0])
+        charge_limit = _scalar(self.parameters, "battery_power_charge")
+        discharge_limit = _scalar(self.parameters, "battery_power_discharge")
+        if p_charge > capa_to_charge or p_charge > charge_limit:
+            p_charge = min(capa_to_charge, charge_limit)
+        if p_discharge > capa_to_discharge or p_discharge > discharge_limit:
+            p_discharge = min(capa_to_discharge, discharge_limit)
         return p_charge, p_discharge
 
     def _record_production(self, control_dict, production_dict, status):
         assert isinstance(production_dict, dict)
         control_dict.pop("pv_consummed", None)
 
-        has_grid = self.architecture["grid"] == 1
-        has_genset = self.architecture["genset"] == 1
-        has_battery = self.architecture["battery"] == 1
-
         sources = 0.0
         sinks = control_dict["load"]
 
-        if has_battery:
+        if self._has("battery"):
             p_charge, p_discharge = self._check_constraints_battery(
                 control_dict["battery_charge"], control_dict["battery_discharge"], status
             )
@@ -494,7 +519,7 @@ class NonModularMicrogrid:
             sources += p_discharge
             sinks += p_charge
 
-        if has_grid:
+        if self._has("grid"):
             p_import, p_export = self._check_constraints_grid(
                 control_dict["grid_import"], control_dict["grid_export"]
             )
@@ -503,7 +528,7 @@ class NonModularMicrogrid:
             sources += p_import
             sinks += p_export
 
-        if has_genset:
+        if self._has("genset"):
             p_genset = self._check_constraints_genset(control_dict["genset"])
             production_dict["genset"].append(p_genset)
             sources += p_genset
@@ -537,9 +562,9 @@ class NonModularMicrogrid:
 
     def _record_co2(self, control_dict, df, grid_co2=0):
         co2 = 0
-        if self.architecture["genset"] == 1:
-            co2 += control_dict["genset"] * self.parameters["genset_co2"].values[0]
-        if self.architecture["grid"] == 1:
+        if self._has("genset"):
+            co2 += control_dict["genset"] * _scalar(self.parameters, "genset_co2")
+        if self._has("grid"):
             co2 += grid_co2 * control_dict["grid_import"]
         df["co2"].append(co2)
         return df
@@ -549,38 +574,38 @@ class NonModularMicrogrid:
             raise TypeError(f"df needs to be dict, is {type(df)}")
 
         df["loss_load"].append(
-            control_dict["loss_load"] * self.parameters["cost_loss_load"].values[0]
+            control_dict["loss_load"] * _scalar(self.parameters, "cost_loss_load")
         )
         df["overgeneration"].append(
             control_dict["overgeneration"]
-            * self.parameters["cost_overgeneration"].values[0]
+            * _scalar(self.parameters, "cost_overgeneration")
         )
-        if self.architecture["genset"] == 1:
+        if self._has("genset"):
             df["genset"].append(
-                control_dict["genset"] * self.parameters["fuel_cost"].values[0]
+                control_dict["genset"] * _scalar(self.parameters, "fuel_cost")
             )
-        if self.architecture["grid"] == 1:
+        if self._has("grid"):
             df["grid_import"].append(cost_import * control_dict["grid_import"])
             df["grid_export"].append(-cost_export * control_dict["grid_export"])
-        if self.architecture["battery"] == 1:
+        if self._has("battery"):
             df["battery"].append(
                 (control_dict["battery_charge"] + control_dict["battery_discharge"])
-                * self.parameters["battery_cost_cycle"].values[0]
+                * _scalar(self.parameters, "battery_cost_cycle")
             )
-        df["co2"].append(self.parameters["cost_co2"].values[0] * df_co2["co2"][-1])
+        df["co2"].append(_scalar(self.parameters, "cost_co2") * df_co2["co2"][-1])
 
         total_cost = np.sum([val[-1] for key, val in df.items() if key != "total_cost"])
         df["total_cost"].append(total_cost)
         return df
 
     def penalty(self, coef=1):
-        penalty = 0
-        for i in self._df_record_control_dict:
-            penalty += abs(
-                self._df_record_control_dict[i][-1]
-                - self._df_record_actual_production[i][-1]
+        total = 0
+        for field in self._df_record_control_dict:
+            total += abs(
+                self._df_record_control_dict[field][-1]
+                - self._df_record_actual_production[field][-1]
             )
-        return penalty * coef
+        return total * coef
 
     @classmethod
     def from_modular(cls, modular):
