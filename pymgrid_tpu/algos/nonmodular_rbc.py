@@ -1,10 +1,10 @@
 """Legacy rule-based control on the nonmodular microgrid.
 
-Mirror of the reference's ``algos/rbc/_nonmodular_rbc.py`` (the pipeline that
-produced the published ``pymgrid 25 - benchmarks.xlsx`` numbers): a
-marginal-cost priority dispatch driven through the nonmodular record-frame
-pipeline (``_record_action`` / ``_record_production`` / ``_record_co2`` /
-``_update_status`` / ``_record_cost``).
+Behavioral mirror of the reference's ``algos/rbc/_nonmodular_rbc.py`` (the
+pipeline that produced the published ``pymgrid 25 - benchmarks.xlsx``
+numbers): a marginal-cost priority dispatch driven through the nonmodular
+record-frame pipeline (``_record_action`` / ``_record_production`` /
+``_record_co2`` / ``_update_status`` / ``_record_cost``).
 
 Semantics are kept exactly — including the reference's quirks:
 
@@ -44,149 +44,158 @@ class NonModularRuleBasedControl:
         whether round-trip-discounted export beats import price
         (reference lines 15-46).
         """
-        if architecture["grid"] == 1:
-            efficiency = parameters["battery_efficiency"].values[0]
-            battery_beats_grid = (
-                price_export / (efficiency ** 2) < price_import
-            )
+        if architecture["grid"] != 1:
             return {
                 "PV": 1 * architecture["PV"],
-                "battery": (2 if battery_beats_grid else 3) * architecture["battery"],
-                "grid": int((3 if battery_beats_grid else 2)
-                            * architecture["grid"] * grid_status),
+                "battery": 2 * architecture["battery"],
+                "grid": 0,
                 "genset": 4 * architecture["genset"],
             }
+
+        efficiency = parameters["battery_efficiency"].values[0]
+        battery_beats_grid = price_export / (efficiency ** 2) < price_import
+        battery_rank, grid_rank = (2, 3) if battery_beats_grid else (3, 2)
         return {
             "PV": 1 * architecture["PV"],
-            "battery": 2 * architecture["battery"],
-            "grid": 0,
+            "battery": battery_rank * architecture["battery"],
+            "grid": int(grid_rank * architecture["grid"] * grid_status),
             "genset": 4 * architecture["genset"],
         }
 
     # ------------------------------------------------------------- dispatch
+    @staticmethod
+    def _battery_headroom(parameters, soc):
+        """(capa_to_charge, capa_to_discharge) with the legacy asymmetry:
+        charge capacity divides by efficiency, discharge multiplies."""
+        capacity = parameters["battery_capacity"].values[0]
+        efficiency = parameters["battery_efficiency"].values[0]
+        to_charge = max(
+            (parameters["battery_soc_max"].values[0] * capacity - soc * capacity)
+            / efficiency,
+            0,
+        )
+        to_discharge = max(
+            (soc * capacity - parameters["battery_soc_min"].values[0] * capacity)
+            * efficiency,
+            0,
+        )
+        return to_charge, to_discharge
+
+    def _reserve_genset_minimum(self, flow, pv, parameters, status, priority_dict):
+        """Reserve the genset minimum up front when PV + battery cannot cover
+        the load and the grid is not preferred over the genset.  May replace
+        the priority dict with a genset-only one (reference quirk)."""
+        capa_to_discharge = max(
+            min(
+                (status["battery_soc"][-1] * parameters["battery_capacity"].values[0]
+                 - parameters["battery_soc_min"].values[0]
+                 * parameters["battery_capacity"].values[0])
+                * parameters["battery_efficiency"].values[0],
+                self.microgrid.battery.p_discharge_max,
+            ),
+            0,
+        )
+        grid_first = int(
+            self.microgrid.architecture["grid"] == 1
+            and priority_dict["grid"] < priority_dict["genset"]
+            and priority_dict["grid"] > 0
+        )
+        if flow["unmet"] > pv + capa_to_discharge and grid_first == 0:
+            min_load = (
+                self.microgrid.parameters["genset_rated_power"].values[0]
+                * self.microgrid.parameters["genset_pmin"].values[0]
+            )
+            if min_load <= flow["unmet"]:
+                flow["unmet"] = flow["unmet"] - min_load
+                flow["reserved"] = min_load
+            else:
+                # Genset minimum alone exceeds the load: genset-only dispatch
+                # (and, per the reference, p_genset comes out as 2*min_load).
+                flow["unmet"] = min_load
+                flow["reserved"] = min_load
+                return {"PV": 0, "battery": 0, "grid": 0, "genset": 1}
+        return priority_dict
+
+    def _deploy_pv(self, flow, pv):
+        self_consumed = min(flow["unmet"], pv)
+        flow["unmet"] = max(0, flow["unmet"] - self_consumed)
+        flow["surplus"] = pv - self_consumed
+        flow["pv_used"] = flow["pv_used"] + pv - flow["surplus"]
+
+    def _deploy_battery(self, flow, parameters, status):
+        to_charge, to_discharge = self._battery_headroom(
+            parameters, status["battery_soc"][-1]
+        )
+        if flow["unmet"] > 0:
+            flow["discharge"] = max(
+                0,
+                min(to_discharge,
+                    parameters["battery_power_discharge"].values[0],
+                    flow["unmet"]),
+            )
+            flow["unmet"] = flow["unmet"] - flow["discharge"]
+        elif flow["surplus"] > 0:
+            flow["charge"] = max(
+                0,
+                min(to_charge,
+                    parameters["battery_power_charge"].values[0],
+                    flow["surplus"]),
+            )
+            flow["surplus"] = flow["surplus"] - flow["charge"]
+            flow["pv_used"] = flow["pv_used"] + flow["charge"]
+
+    def _deploy_grid(self, flow):
+        if flow["unmet"] > 0:
+            flow["buy"] = flow["unmet"]
+            flow["unmet"] = 0
+        elif flow["surplus"] > 0:
+            flow["sell"] = flow["surplus"]
+            flow["surplus"] = 0
+            flow["pv_used"] = flow["pv_used"] + flow["sell"]
+
+    def _deploy_genset(self, flow):
+        if flow["unmet"] > 0:
+            flow["genset"] = flow["unmet"] + flow["reserved"]
+            flow["unmet"] = 0
+            flow["reserved"] = 0
+
     def _run_priority_based(self, load, pv, parameters, status, priority_dict):
         """One step of priority dispatch (reference lines 48-178).
 
         ``status`` is the record-state frame (dict of lists); the battery SOC
         is read from its last row.
         """
-        temp_load = load
-        excess_gen = 0
+        flow = dict(
+            unmet=load, surplus=0, reserved=0,
+            charge=0, discharge=0, buy=0, sell=0, genset=0, pv_used=0,
+        )
 
-        p_charge = 0
-        p_discharge = 0
-        p_import = 0
-        p_export = 0
-        p_genset = 0
-        load_not_matched = 0
-        pv_not_curtailed = 0
-
-        architecture = self.microgrid.architecture
-        min_load = 0
-        if architecture["genset"] == 1:
-            # Reserve the genset minimum up front when PV + battery cannot
-            # cover the load and the grid is not preferred over the genset.
-            capa_to_discharge = max(
-                min(
-                    (status["battery_soc"][-1] * parameters["battery_capacity"].values[0]
-                     - parameters["battery_soc_min"].values[0]
-                     * parameters["battery_capacity"].values[0])
-                    * parameters["battery_efficiency"].values[0],
-                    self.microgrid.battery.p_discharge_max,
-                ),
-                0,
+        if self.microgrid.architecture["genset"] == 1:
+            priority_dict = self._reserve_genset_minimum(
+                flow, pv, parameters, status, priority_dict
             )
-            grid_first = int(
-                architecture["grid"] == 1
-                and priority_dict["grid"] < priority_dict["genset"]
-                and priority_dict["grid"] > 0
-            )
-            if temp_load > pv + capa_to_discharge and grid_first == 0:
-                min_load = (
-                    self.microgrid.parameters["genset_rated_power"].values[0]
-                    * self.microgrid.parameters["genset_pmin"].values[0]
-                )
-                if min_load <= temp_load:
-                    temp_load = temp_load - min_load
-                else:
-                    # Genset minimum alone exceeds the load: genset-only
-                    # dispatch (and, per the reference, p_genset will come
-                    # out as 2*min_load below).
-                    temp_load = min_load
-                    priority_dict = {"PV": 0, "battery": 0, "grid": 0, "genset": 1}
 
-        for resource, priority in sorted(
-            priority_dict.items(), key=operator.itemgetter(1)
-        ):
-            if priority <= 0:
+        for resource, rank in sorted(priority_dict.items(), key=operator.itemgetter(1)):
+            if rank <= 0:
                 continue
-
             if resource == "PV":
-                self_consumed_pv = min(temp_load, pv)
-                temp_load = max(0, temp_load - self_consumed_pv)
-                excess_gen = pv - self_consumed_pv
-                pv_not_curtailed = pv_not_curtailed + pv - excess_gen
-
+                self._deploy_pv(flow, pv)
             elif resource == "battery":
-                capacity = parameters["battery_capacity"].values[0]
-                efficiency = parameters["battery_efficiency"].values[0]
-                soc = status["battery_soc"][-1]
-                capa_to_charge = max(
-                    (parameters["battery_soc_max"].values[0] * capacity
-                     - soc * capacity) / efficiency,
-                    0,
-                )
-                capa_to_discharge = max(
-                    (soc * capacity
-                     - parameters["battery_soc_min"].values[0] * capacity)
-                    * efficiency,
-                    0,
-                )
-                if temp_load > 0:
-                    p_discharge = max(
-                        0,
-                        min(capa_to_discharge,
-                            parameters["battery_power_discharge"].values[0],
-                            temp_load),
-                    )
-                    temp_load = temp_load - p_discharge
-                elif excess_gen > 0:
-                    p_charge = max(
-                        0,
-                        min(capa_to_charge,
-                            parameters["battery_power_charge"].values[0],
-                            excess_gen),
-                    )
-                    excess_gen = excess_gen - p_charge
-                    pv_not_curtailed = pv_not_curtailed + p_charge
-
+                self._deploy_battery(flow, parameters, status)
             elif resource == "grid":
-                if temp_load > 0:
-                    p_import = temp_load
-                    temp_load = 0
-                elif excess_gen > 0:
-                    p_export = excess_gen
-                    excess_gen = 0
-                    pv_not_curtailed = pv_not_curtailed + p_export
-
+                self._deploy_grid(flow)
             elif resource == "genset":
-                if temp_load > 0:
-                    p_genset = temp_load + min_load
-                    temp_load = 0
-                    min_load = 0
-
-        if temp_load > 0:
-            load_not_matched = 1
+                self._deploy_genset(flow)
 
         return {
-            "battery_charge": p_charge,
-            "battery_discharge": p_discharge,
-            "genset": p_genset,
-            "grid_import": p_import,
-            "grid_export": p_export,
-            "loss_load": load_not_matched,
-            "pv_consummed": pv_not_curtailed,
-            "pv_curtailed": pv - pv_not_curtailed,
+            "battery_charge": flow["charge"],
+            "battery_discharge": flow["discharge"],
+            "genset": flow["genset"],
+            "grid_import": flow["buy"],
+            "grid_export": flow["sell"],
+            "loss_load": 1 if flow["unmet"] > 0 else 0,
+            "pv_consummed": flow["pv_used"],
+            "pv_curtailed": pv - flow["pv_used"],
             "load": load,
             "pv": pv,
         }

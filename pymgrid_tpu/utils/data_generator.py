@@ -1,6 +1,6 @@
 """Sample generators for stochastic MPC (SAA).
 
-Mirror of ``src/pymgrid/utils/DataGenerator.py``:
+Behavioral mirror of ``src/pymgrid/utils/DataGenerator.py``:
 
 * :class:`NoisyPVData` — fits seasonal upper/lower quantile curves to daily
   PV maxima (cos/sin features), rebuilds each day as a quadratic
@@ -11,6 +11,9 @@ Mirror of ``src/pymgrid/utils/DataGenerator.py``:
 * :class:`NoisyGridData` — naive or 2-state Markov-chain outage resampling.
 * :class:`SampleGenerator` — forecast creation, MAPE validation and batched
   sampling on a legacy (nonmodular) microgrid.
+
+The random draws come from the global numpy RNG in a fixed call order, so
+seeded sampling stays reproducible.
 """
 import numpy as np
 import pandas as pd
@@ -31,25 +34,22 @@ __all__ = [
 def return_underlying_data(microgrid):
     """(pv, load, grid) frame from a legacy microgrid
     (``DataGenerator.py:30-59``)."""
-    pv_data = microgrid._pv_ts
-    load_data = microgrid._load_ts
-
-    pv_data = pv_data[pv_data.columns[0]]
-    load_data = load_data[load_data.columns[0]]
-    pv_data.name = "pv"
-    load_data.name = "load"
+    pv_column = microgrid._pv_ts[microgrid._pv_ts.columns[0]]
+    load_column = microgrid._load_ts[microgrid._load_ts.columns[0]]
+    pv_column.name = "pv"
+    load_column.name = "load"
 
     if microgrid.architecture["grid"] != 0:
-        grid_data = microgrid._grid_status_ts
-        if isinstance(grid_data, pd.DataFrame):
-            grid_data = grid_data[grid_data.columns[0]]
-        grid_data.name = "grid"
+        grid_column = microgrid._grid_status_ts
+        if isinstance(grid_column, pd.DataFrame):
+            grid_column = grid_column[grid_column.columns[0]]
+        grid_column.name = "grid"
     else:
-        grid_data = pd.Series(
-            data=[0] * len(microgrid._load_ts), index=pv_data.index, name="grid"
+        grid_column = pd.Series(
+            data=[0] * len(microgrid._load_ts), index=pv_column.index, name="grid"
         )
 
-    return pd.concat([pv_data, load_data, grid_data], axis=1)
+    return pd.concat([pv_column, load_column, grid_column], axis=1)
 
 
 def quantile_regression_fit(y, X, q):
@@ -73,128 +73,173 @@ def quantile_regression_fit(y, X, q):
     return res.x[:p]
 
 
-class NoisyPVData:
-    def __init__(self, pv_data=None, file_name=None):
-        if pv_data is not None:
-            if isinstance(pv_data, pd.Series):
-                self.unmunged_data = pv_data.to_frame()
-                self.data = pv_data.to_frame()
-            elif not isinstance(pv_data, pd.DataFrame):
+def _hour_day_columns(n_hours):
+    hours = [j % 24 for j in range(n_hours)]
+    days = [int(np.floor(j / 24)) for j in range(n_hours)]
+    return hours, days
+
+
+class _NoisySeriesData:
+    """Shared frame/file intake and negative-sample repair for the noisy
+    PV/load samplers."""
+
+    _FALLBACK_COLUMN = None  # column name to try when multiple are present
+
+    def __init__(self, known_data=None, file_name=None):
+        if known_data is not None:
+            if isinstance(known_data, pd.Series):
+                known_data = known_data.to_frame()
+            elif not isinstance(known_data, pd.DataFrame):
                 raise TypeError(
-                    f"known_data must be of type pd.DataFrame or pd.Series, is ({type(pv_data)})"
+                    f"known_data must be of type pd.DataFrame or pd.Series, is "
+                    f"({type(known_data)})"
                 )
-            else:
-                self.unmunged_data = pv_data.copy()
-                self.data = pv_data.copy()
+            self.unmunged_data = known_data.copy()
+            self.data = known_data.copy()
         elif file_name is not None:
-            self.data, self.unmunged_data = pd.read_csv(file_name), pd.read_csv(file_name)
+            self.data = pd.read_csv(file_name)
+            self.unmunged_data = pd.read_csv(file_name)
         else:
-            raise RuntimeError("Unable to initialize data")
+            raise RuntimeError(
+                "Unable to initialize data, either known_data or file_name must not be None"
+            )
 
         self.num_hours = len(self.data)
         self.munged = False
-        self.interpolated = False
+
+    def _value_column(self, warn_label):
+        if len(self.data.columns.values) == 1:
+            return self.data.columns[0]
+        print(
+            f"Warning multiple columns in {warn_label}, attempting to use "
+            f"'{self._FALLBACK_COLUMN}' as column name"
+        )
+        return self._FALLBACK_COLUMN
+
+    def _negative_fill_value(self):
+        raise NotImplementedError
+
+    def _negative_fill_message(self, count):
+        raise NotImplementedError
+
+    def _check_sample(self, stacked_data, verbose=False):
+        flattened = stacked_data.copy().squeeze()
+        if not isinstance(flattened, pd.Series):
+            raise ValueError(
+                "stacked_data needs to be a series or a single column DataFrame, "
+                f"has shape {stacked_data.shape}"
+            )
+        negative = flattened < 0
+        if negative.sum() > 0 and verbose:
+            print(self._negative_fill_message(negative.sum()))
+        flattened.loc[negative] = self._negative_fill_value()
+        if isinstance(stacked_data, pd.Series):
+            return flattened
+        repaired = stacked_data.copy()
+        repaired[repaired.columns[0]] = flattened
+        return repaired
+
+
+class NoisyPVData(_NoisySeriesData):
+    _FALLBACK_COLUMN = "GH illum (lx)"
+
+    def __init__(self, pv_data=None, file_name=None):
+        super().__init__(known_data=pv_data, file_name=file_name)
         self.daily_maxes = None
         self.feature_functions = None
         self.feature_names = None
+        self.interpolated = False
         self.interpolated_coef = None
         self.parabolic_baseline = None
         self.distribution_bounds = None
 
-    def data_munge(self, verbose=False):
-        if len(self.data.columns.values) != 1:
-            print(
-                "Warning multiple columns in pv_data, attempting to use "
-                "'GH illum (lx)' as column name"
-            )
-            col_name = "GH illum (lx)"
-        else:
-            col_name = self.data.columns[0]
+    def _negative_fill_value(self):
+        return 0
 
-        hours = [j % 24 for j in range(self.num_hours)]
-        day = [int(np.floor(j / 24)) for j in range(self.num_hours)]
+    def _negative_fill_message(self, count):
+        return f"Found {count} negative values in pv_data sample, forcing to 0"
+
+    # ------------------------------------------------------------- fitting
+    def data_munge(self, verbose=False):
+        col_name = self._value_column("pv_data")
+        hours, days = _hour_day_columns(self.num_hours)
         self.data = self.data.copy()
         self.data["hour"] = pd.Series(data=hours)
-        self.data["day"] = pd.Series(data=day)
+        self.data["day"] = pd.Series(data=days)
         self.data = self.data.pivot(index="hour", columns="day", values=col_name)
 
-        indices_of_max = self.data.idxmax(axis=0)
-        maxes = self.data.max(axis=0)
-        indices_of_max.name = "time_of_max"
-        maxes.name = "max_GHI"
-        self.daily_maxes = pd.concat([indices_of_max, maxes], axis=1)
+        peak_hours = self.data.idxmax(axis=0)
+        peaks = self.data.max(axis=0)
+        peak_hours.name = "time_of_max"
+        peaks.name = "max_GHI"
+        self.daily_maxes = pd.concat([peak_hours, peaks], axis=1)
         self.daily_maxes["cumulative_hr"] = (
             self.daily_maxes["time_of_max"] + self.daily_maxes.index.values * 24
         )
         self.munged = True
 
     def _add_feature_columns(self, num_feature_functions=1, period_scale=1.0):
-        feature_names, feature_funcs = [], {}
         if not self.munged:
             raise RuntimeError(
                 "Data must be munged before adding feature columns or curve "
                 "interpolation. Call data_munge first"
             )
 
-        name = "ones"
-        self.daily_maxes[name] = pd.Series(
-            data=[1.0] * len(self.daily_maxes["cumulative_hr"]),
-            index=self.daily_maxes.index,
-        )
-
-        def ones_f(x):
+        def constant_feature(x):
             if isinstance(x, (int, float)):
                 return 1.0
             return pd.Series(data=[1.0] * len(x))
 
-        feature_names.append(name)
-        feature_funcs[name] = ones_f
-
-        def make_trig(num, fn):
+        def trig_feature(harmonic, fn):
             def f(x):
-                return fn(2 * num * np.pi / 8760.0 * period_scale * (x - 173 * 24))
+                return fn(2 * harmonic * np.pi / 8760.0 * period_scale * (x - 173 * 24))
 
             return f
 
+        self.daily_maxes["ones"] = pd.Series(
+            data=[1.0] * len(self.daily_maxes["cumulative_hr"]),
+            index=self.daily_maxes.index,
+        )
+        names = ["ones"]
+        functions = {"ones": constant_feature}
+
         for k in range(num_feature_functions):
             if k % 2 == 0:
-                num = int(np.floor((k + 2) / 2))
-                name = f"cos{num}x"
-                f = make_trig(num, np.cos)
+                harmonic = int(np.floor((k + 2) / 2))
+                name, f = f"cos{harmonic}x", trig_feature(harmonic, np.cos)
             else:
-                num = int(np.floor((k + 1) / 2))
-                name = f"sin{num}x"
-                f = make_trig(num, np.sin)
+                harmonic = int(np.floor((k + 1) / 2))
+                name, f = f"sin{harmonic}x", trig_feature(harmonic, np.sin)
             self.daily_maxes[name] = f(self.daily_maxes["cumulative_hr"])
-            feature_funcs[name] = f
-            feature_names.append(name)
+            functions[name] = f
+            names.append(name)
 
-        self.feature_functions = feature_funcs
-        self.feature_names = feature_names
+        self.feature_functions = functions
+        self.feature_names = names
+
+    _CURVE_PRESETS = {
+        "sf": {"period_scale": 0.8, "q_max": 0.9, "q_min": 0.25},
+        "houston": {"period_scale": 0.8, "q_max": 0.9, "q_min": 0.05},
+    }
 
     def max_min_curve_interpolate(
         self, num_feature_functions=1, percentile=0.8, plot_curve=False,
         use_preset_params=True, params="sf",
     ):
         """Fit seasonal upper/lower quantile curves over the daily maxima."""
-        presets = {
-            "sf": {"period_scale": 0.8, "q_max": 0.9, "q_min": 0.25},
-            "houston": {"period_scale": 0.8, "q_max": 0.9, "q_min": 0.05},
-        }
         if use_preset_params:
-            if params not in presets:
+            if params not in self._CURVE_PRESETS:
                 raise NameError(
                     "If use_preset_params is True, params must be one of "
                     "{'sf','houston'} denoting preset parameters"
                 )
-            parameters = presets[params]
-            period_scale = parameters["period_scale"]
-            q_max, q_min = parameters["q_max"], parameters["q_min"]
+            chosen = self._CURVE_PRESETS[params]
         else:
             if not isinstance(params, dict):
                 raise TypeError(f"params must be a dict of parameters, not ({params})")
-            period_scale = params["period_scale"]
-            q_max, q_min = params["q_max"], params["q_min"]
+            chosen = params
+        period_scale = chosen["period_scale"]
+        q_max, q_min = chosen["q_max"], chosen["q_min"]
 
         if not 0.0 <= percentile <= 1.0:
             raise ValueError(f"percentile must be in [0,1], is ({percentile})")
@@ -203,32 +248,37 @@ class NoisyPVData:
             num_feature_functions=num_feature_functions, period_scale=period_scale
         )
 
-        x_vars = self.daily_maxes[self.feature_names]
-        y = self.daily_maxes["max_GHI"]
-
-        max_beta = quantile_regression_fit(y, x_vars.values, q_max)
-        min_beta = quantile_regression_fit(y, x_vars.values, q_min)
+        features = self.daily_maxes[self.feature_names]
+        targets = self.daily_maxes["max_GHI"]
 
         self.interpolated_coef = {
-            "max": pd.Series(max_beta, index=self.feature_names),
-            "min": pd.Series(min_beta, index=self.feature_names),
+            "max": pd.Series(
+                quantile_regression_fit(targets, features.values, q_max),
+                index=self.feature_names,
+            ),
+            "min": pd.Series(
+                quantile_regression_fit(targets, features.values, q_min),
+                index=self.feature_names,
+            ),
         }
         self.interpolated = True
+
+    def _eval_curve(self, coef, cumul_times):
+        y = pd.Series(data=[0.0] * len(cumul_times), name="Upper Bound Values")
+        for name in self.feature_names:
+            y += coef[name] * self.feature_functions[name](cumul_times)
+        if len(y) == 1:
+            return y[0]
+        return y
 
     def most_light_curve_eval(self, max_min, cumulative_hours=None, day_hour_pairs=None):
         if max_min not in ("max", "min"):
             raise ValueError(f"max_min must be one of 'max' or 'min', is {max_min}")
-        interpolated_coef = self.interpolated_coef[max_min]
+        coef = self.interpolated_coef[max_min]
 
-        to_return = []
+        results = []
         if cumulative_hours is not None:
-            cumul_times = pd.Series(data=cumulative_hours)
-            y = pd.Series(data=[0.0] * len(cumul_times), name="Upper Bound Values")
-            for name in self.feature_names:
-                y += interpolated_coef[name] * self.feature_functions[name](cumul_times)
-            if len(y) == 1:
-                y = y[0]
-            to_return.append(y)
+            results.append(self._eval_curve(coef, pd.Series(data=cumulative_hours)))
 
         if day_hour_pairs is not None:
             cumul_times = []
@@ -240,22 +290,65 @@ class NoisyPVData:
                 if pair[1] < 0 or pair[1] >= 24:
                     raise ValueError(f"hour must be in [0,23], is ({pair[1]})")
                 cumul_times.append(pair[0] * 24 + pair[1])
-            x = pd.Series(data=cumul_times)
-            y_pairs = pd.Series(data=[0.0] * len(cumul_times), name="Upper Bound Values")
-            for name in self.feature_names:
-                y_pairs += interpolated_coef[name] * self.feature_functions[name](x)
-            if len(y_pairs) == 1:
-                y_pairs = y_pairs[0]
-            to_return.append(y_pairs)
+            results.append(self._eval_curve(coef, pd.Series(data=cumul_times)))
 
-        if len(to_return) == 1:
-            return to_return[0]
-        return to_return
+        if len(results) == 1:
+            return results[0]
+        return results
+
+    # ------------------------------------------------------------ sampling
+    def _day_window(self, column):
+        """(dawn, solar noon, dusk) hours of one day's profile."""
+        night_hours = np.where(column == 0)[0]
+        following = np.roll(night_hours, -1)
+        dawn_index = np.where(night_hours + 1 != following)[0][0]
+        dawn = night_hours[dawn_index]
+        dusk = night_hours[dawn_index + 1]
+        return dawn, (dawn + dusk) / 2.0, dusk
+
+    def _curve_bounds(self, day, solar_noon):
+        lower = self.most_light_curve_eval(
+            max_min="min", day_hour_pairs=((day, solar_noon),)
+        )
+        upper = self.most_light_curve_eval(
+            max_min="max", day_hour_pairs=((day, solar_noon),)
+        )
+        if lower < 0:
+            if upper < 0:
+                lower, upper = -max(lower, upper), -min(lower, upper)
+                upper, lower = lower, upper
+            else:
+                lower = 0
+        return lower, upper
+
+    def _draw_peak(self, noise_type, noise_parameters, lower_b, upper_b):
+        """One peak draw plus the distribution bounds used."""
+        spread = upper_b - lower_b
+        low = lower_b + noise_parameters["lower"] * spread
+        high = upper_b + (noise_parameters["upper"] - 1) * spread
+
+        if noise_type == "uniform":
+            return np.random.uniform(low=low, high=high), low, high
+        if noise_type == "triangular":
+            if "mode" in noise_parameters:
+                mode_param = noise_parameters["mode"]
+                if not 0 <= mode_param <= 1:
+                    raise ValueError(
+                        f"mode parameter ({mode_param}) invalid, must be scale "
+                        f"value in [0,1]"
+                    )
+                mode = spread * mode_param + lower_b
+            else:
+                mode = 0.5 * (lower_b + upper_b)
+            return np.random.triangular(left=low, mode=mode, right=high), low, high
+        raise RuntimeError(
+            f"Fell through in noise_types, unable to recognize ({noise_type})"
+        )
 
     def _sample_parabola(self, noise_type, noise_parameters, verbose,
                          push_peak_val=False, push_peak_ratio=0.5):
         noisy_data = self.data.copy()
-        lower_distribution_bounds, upper_distribution_bounds = [], []
+        lower_bounds, upper_bounds = [], []
 
         for day in noisy_data.columns:
             if noisy_data[day][0] != 0:
@@ -267,80 +360,36 @@ class NoisyPVData:
                     f"It appears that it is sunny at 11PM of day ({day}). No good."
                 )
 
-            night_hours = np.where(noisy_data[day] == 0)[0]
-            next_night_hours = np.roll(night_hours, -1)
-            index_of_dawn = np.where(night_hours + 1 != next_night_hours)[0][0]
-            dawn_time = night_hours[index_of_dawn]
-            dusk_time = night_hours[index_of_dawn + 1]
+            dawn, solar_noon, dusk = self._day_window(noisy_data[day])
+            lower_b, upper_b = self._curve_bounds(day, solar_noon)
 
-            time_of_most_light = (dawn_time + dusk_time) / 2.0
-            interpolated_least_light = self.most_light_curve_eval(
-                max_min="min", day_hour_pairs=((day, time_of_most_light),)
+            peak_val, low, high = self._draw_peak(
+                noise_type, noise_parameters, lower_b, upper_b
             )
-            interpolated_most_light = self.most_light_curve_eval(
-                max_min="max", day_hour_pairs=((day, time_of_most_light),)
-            )
-
-            if interpolated_least_light < 0:
-                if interpolated_most_light < 0:
-                    most_light = -min(interpolated_least_light, interpolated_most_light)
-                    least_light = -max(interpolated_least_light, interpolated_most_light)
-                    interpolated_most_light = most_light
-                    interpolated_least_light = least_light
-                else:
-                    interpolated_least_light = 0
-
-            lower_b, upper_b = interpolated_least_light, interpolated_most_light
-            spread = upper_b - lower_b
-
-            if noise_type == "uniform":
-                low = lower_b + noise_parameters["lower"] * spread
-                high = upper_b + (noise_parameters["upper"] - 1) * spread
-                lower_distribution_bounds.append(low)
-                upper_distribution_bounds.append(high)
-                peak_val = np.random.uniform(low=low, high=high)
-            elif noise_type == "triangular":
-                low = lower_b + noise_parameters["lower"] * spread
-                high = upper_b + (noise_parameters["upper"] - 1) * spread
-                if "mode" in noise_parameters:
-                    mode_param = noise_parameters["mode"]
-                    if not 0 <= mode_param <= 1:
-                        raise ValueError(
-                            f"mode parameter ({mode_param}) invalid, must be scale "
-                            f"value in [0,1]"
-                        )
-                    mode = spread * mode_param + lower_b
-                else:
-                    mode = 0.5 * (lower_b + upper_b)
-                lower_distribution_bounds.append(low)
-                upper_distribution_bounds.append(high)
-                peak_val = np.random.triangular(left=low, mode=mode, right=high)
-            else:
-                raise RuntimeError(
-                    f"Fell through in noise_types, unable to recognize ({noise_type})"
-                )
+            lower_bounds.append(low)
+            upper_bounds.append(high)
 
             if push_peak_val:
                 peak_val = peak_val + push_peak_ratio * (
                     self.daily_maxes.loc[day, "max_GHI"] - peak_val
                 )
 
-            daytime_x = np.array([dawn_time, time_of_most_light, dusk_time])
-            daytime_y = np.array([0, peak_val, 0])
-            if any(np.diff(daytime_x) <= 0):
+            anchor_x = np.array([dawn, solar_noon, dusk])
+            anchor_y = np.array([0, peak_val, 0])
+            if any(np.diff(anchor_x) <= 0):
                 raise RuntimeError(
                     "Something is wrong in interpolating daily curves, have "
-                    f"dawn/peak/dusk times as ({daytime_x}), not in order"
+                    f"dawn/peak/dusk times as ({anchor_x}), not in order"
                 )
 
-            f = interp1d(
-                daytime_x, daytime_y, kind="quadratic", bounds_error=False, fill_value=0
+            daily_curve = interp1d(
+                anchor_x, anchor_y, kind="quadratic", bounds_error=False, fill_value=0
             )
-            noisy_data[day] = f(noisy_data.index)
+            noisy_data[day] = daily_curve(noisy_data.index)
 
         self.parabolic_baseline = noisy_data.copy()
-        self.distribution_bounds = (lower_distribution_bounds, upper_distribution_bounds)
-        return noisy_data, lower_distribution_bounds, upper_distribution_bounds
+        self.distribution_bounds = (lower_bounds, upper_bounds)
+        return noisy_data, lower_bounds, upper_bounds
 
     def sample(
         self,
@@ -354,14 +403,14 @@ class NoisyPVData:
         push_individual_ratio=0.5,
         **kwargs,
     ):
-        potential_noises = {0: (None, "uniform", "triangular"), 1: (None, "gaussian")}
+        allowed_noises = {0: (None, "uniform", "triangular"), 1: (None, "gaussian")}
         noise_parameters = ({"lower": 0, "upper": 1, "mode": 0.5}, {"std_ratio": 0.05})
 
         for j, noise in enumerate(noise_types):
-            if noise not in potential_noises[j]:
+            if noise not in allowed_noises[j]:
                 raise ValueError(
                     f"Noise ({noise}) not recognized in position ({j}), must be one "
-                    f"of {potential_noises[j]}"
+                    f"of {allowed_noises[j]}"
                 )
 
         if not self.munged:
@@ -371,15 +420,16 @@ class NoisyPVData:
 
         if len(noise_params) != 2:
             raise TypeError("Unable to parse noise_params, must be array-like length 2")
-        for j, v in enumerate(noise_params):
-            if v is not None and not isinstance(v, dict):
+        for j, overrides in enumerate(noise_params):
+            if overrides is None:
+                continue
+            if not isinstance(overrides, dict):
                 raise TypeError(
-                    f"Element ({j}) in noise_params must be None or dict, is {type(v)}"
+                    f"Element ({j}) in noise_params must be None or dict, is {type(overrides)}"
                 )
-            elif v is not None:
-                for key in noise_parameters[j].keys():
-                    if key in v.keys():
-                        noise_parameters[j][key] = v[key]
+            for key in noise_parameters[j].keys():
+                if key in overrides.keys():
+                    noise_parameters[j][key] = overrides[key]
 
         if noise_types[0] is None:
             if self.parabolic_baseline is None:
@@ -396,82 +446,46 @@ class NoisyPVData:
                 scale=noise_parameters[1]["std_ratio"] * noisy_data
             )
 
-        if return_stacked_data:
-            stacked_data = noisy_data.transpose().stack().reset_index()
-            stacked_data = stacked_data.drop(columns=["hour", "day"])
-            assert len(stacked_data.columns) == 1
-            stacked_data.columns = ["pv"]
+        if not return_stacked_data:
+            return noisy_data
 
-            stacked_data = self._check_sample(stacked_data, verbose=verbose)
-            if push_individual_vals:
-                underlying = self.unmunged_data[self.unmunged_data.columns[0]]
-                stacked_data["pv"] += push_individual_ratio * (
-                    underlying - stacked_data["pv"]
-                )
-            return stacked_data
+        stacked = noisy_data.transpose().stack().reset_index()
+        stacked = stacked.drop(columns=["hour", "day"])
+        assert len(stacked.columns) == 1
+        stacked.columns = ["pv"]
 
-        return noisy_data
-
-    def _check_sample(self, stacked_data, verbose=False):
-        temp_data = stacked_data.copy().squeeze()
-        if not isinstance(temp_data, pd.Series):
-            raise ValueError(
-                "stacked_data needs to be a series or a single column DataFrame, "
-                f"has shape {stacked_data.shape}"
-            )
-        negative = temp_data < 0
-        if negative.sum() > 0 and verbose:
-            print(f"Found {negative.sum()} negative values in pv_data sample, forcing to 0")
-        temp_data.loc[negative] = 0
-        if isinstance(stacked_data, pd.Series):
-            return temp_data
-        new_stacked = stacked_data.copy()
-        new_stacked[new_stacked.columns[0]] = temp_data
-        return new_stacked
+        stacked = self._check_sample(stacked, verbose=verbose)
+        if push_individual_vals:
+            underlying = self.unmunged_data[self.unmunged_data.columns[0]]
+            stacked["pv"] += push_individual_ratio * (underlying - stacked["pv"])
+        return stacked
 
 
-class NoisyLoadData:
+class NoisyLoadData(_NoisySeriesData):
+    _FALLBACK_COLUMN = "Electricity:Facility [kW](Hourly)"
+
     def __init__(self, load_data=None, file_name=None):
-        if load_data is not None:
-            if isinstance(load_data, pd.Series):
-                self.unmunged_data = load_data.to_frame()
-                self.data = load_data.to_frame()
-            elif not isinstance(load_data, pd.DataFrame):
-                raise TypeError(
-                    f"known_data must be of type pd.DataFrame or pd.Series, is "
-                    f"({type(load_data)})"
-                )
-            else:
-                self.unmunged_data = load_data.copy()
-                self.data = load_data.copy()
-        elif file_name is not None:
-            self.data = pd.read_csv(file_name)
-            self.unmunged_data = pd.read_csv(file_name)
-        else:
-            raise RuntimeError(
-                "Unable to initialize data, either load_data or file_name must not be None"
-            )
-
+        super().__init__(known_data=load_data, file_name=file_name)
+        # legacy quirk kept: num_hours reflects the *untruncated* input
         self.data = self.data.iloc[:8760]
         self.unmunged_data = self.unmunged_data.iloc[:8760]
         self.num_hours = len(load_data) if load_data is not None else len(self.data)
-        self.munged = False
+
+    def _negative_fill_value(self):
+        return self.unmunged_data.min().squeeze()
+
+    def _negative_fill_message(self, count):
+        return (
+            f"Found {count} negative values in load_data, forcing them "
+            f"to be min of underlying data"
+        )
 
     def data_munge(self, verbose=False):
-        if len(self.data.columns.values) != 1:
-            print(
-                "Warning multiple columns in load_data, attempting to use "
-                "'Electricity:Facility [kW](Hourly)' as column name"
-            )
-            col_name = "Electricity:Facility [kW](Hourly)"
-        else:
-            col_name = self.data.columns[0]
-
-        hours = [j % 24 for j in range(self.num_hours)]
-        day = [int(np.floor(j / 24)) for j in range(self.num_hours)]
+        col_name = self._value_column("load_data")
+        hours, days = _hour_day_columns(self.num_hours)
         self.data = self.data.copy()
         self.data["hour"] = pd.Series(data=hours)
-        self.data["day"] = pd.Series(data=day)
+        self.data["day"] = pd.Series(data=days)
         self.data = self.data.pivot(index="day", columns="hour", values=col_name)
         self.data["day_of_week"] = self.data.index % 7
 
@@ -491,41 +505,22 @@ class NoisyLoadData:
 
         day_of_week = self.data["day_of_week"]
         hour_cols = self.data.columns[:-1]
-        copied_mean = self.load_mean.loc[day_of_week, hour_cols].to_numpy()
-        copied_std = self.load_std.loc[day_of_week, hour_cols].to_numpy()
+        hourly_mean = self.load_mean.loc[day_of_week, hour_cols].to_numpy()
+        hourly_std = self.load_std.loc[day_of_week, hour_cols].to_numpy()
 
-        data_sample = pd.DataFrame(
-            data=np.random.normal(loc=copied_mean, scale=load_variance_scale * copied_std),
+        drawn = pd.DataFrame(
+            data=np.random.normal(loc=hourly_mean, scale=load_variance_scale * hourly_std),
             index=self.data.index,
             columns=hour_cols,
         )
-        if return_stacked:
-            stacked_data = data_sample.stack().reset_index()
-            stacked_data = stacked_data.drop(columns=["day", "hour"])
-            assert len(stacked_data.columns) == 1
-            stacked_data.columns = ["load"]
-            return self._check_sample(stacked_data, verbose=verbose)
-        return data_sample
+        if not return_stacked:
+            return drawn
 
-    def _check_sample(self, stacked_data, verbose=False):
-        temp_data = stacked_data.copy().squeeze()
-        if not isinstance(temp_data, pd.Series):
-            raise ValueError(
-                "stacked_data needs to be a series or a single column DataFrame, "
-                f"has shape {stacked_data.shape}"
-            )
-        negative = temp_data < 0
-        if negative.sum() > 0 and verbose:
-            print(
-                f"Found {negative.sum()} negative values in load_data, forcing them "
-                f"to be min of underlying data"
-            )
-        temp_data.loc[negative] = self.unmunged_data.min().squeeze()
-        if isinstance(stacked_data, pd.Series):
-            return temp_data
-        new_stacked = stacked_data.copy()
-        new_stacked[new_stacked.columns[0]] = temp_data
-        return new_stacked
+        stacked = drawn.stack().reset_index()
+        stacked = stacked.drop(columns=["day", "hour"])
+        assert len(stacked.columns) == 1
+        stacked.columns = ["load"]
+        return self._check_sample(stacked, verbose=verbose)
 
 
 class NoisyGridData:
@@ -549,26 +544,24 @@ class NoisyGridData:
 
     def learn_distribution(self):
         if self.dist_type == "naive":
-            transition_prob_matrix = np.zeros(2)
-            probability_of_one = float(np.asarray(self.data.mean()).squeeze())
-            transition_prob_matrix[0] = 1 - probability_of_one
-            transition_prob_matrix[1] = probability_of_one
-        else:  # markov
-            grid_vals = np.asarray(self.data).reshape(-1)
-            transition_prob_matrix = np.zeros((2, 2))
-            occurrences = np.zeros(2)
-            for j, val in enumerate(grid_vals[:-1]):
-                transition_prob_matrix[int(val), int(grid_vals[j + 1])] += 1
-                occurrences[int(val)] += 1
+            up_fraction = float(np.asarray(self.data.mean()).squeeze())
+            self.transition_prob_matrix = np.array([1 - up_fraction, up_fraction])
+        else:  # 2-state markov chain over consecutive statuses
+            statuses = np.asarray(self.data).reshape(-1)
+            counts = np.zeros((2, 2))
+            visits = np.zeros(2)
+            for here, there in zip(statuses[:-1], statuses[1:]):
+                counts[int(here), int(there)] += 1
+                visits[int(here)] += 1
 
             for s in (0, 1):
-                if occurrences[s] > 0:
-                    transition_prob_matrix[s, :] /= occurrences[s]
+                if visits[s] > 0:
+                    counts[s, :] /= visits[s]
                 else:
-                    transition_prob_matrix[s, s] = 1
-            self.occurrences = occurrences
+                    counts[s, s] = 1
+            self.occurrences = visits
+            self.transition_prob_matrix = counts
 
-        self.transition_prob_matrix = transition_prob_matrix
         self.has_distribution = True
 
     def sample(self):
@@ -576,18 +569,18 @@ class NoisyGridData:
             self.learn_distribution()
 
         if self.dist_type == "naive":
-            generated = np.random.choice(
+            drawn = np.random.choice(
                 [0, 1], size=len(self.data), p=self.transition_prob_matrix
             )
         else:
-            generated = np.zeros(len(self.data))
-            probs = self.occurrences / np.sum(self.occurrences)
-            generated[0] = np.random.choice([0, 1], p=probs)
+            drawn = np.zeros(len(self.data))
+            start_probs = self.occurrences / np.sum(self.occurrences)
+            drawn[0] = np.random.choice([0, 1], p=start_probs)
             for j in range(1, len(self.data)):
-                probs = self.transition_prob_matrix[int(generated[j - 1]), :]
-                generated[j] = np.random.choice([0, 1], p=probs)
+                step_probs = self.transition_prob_matrix[int(drawn[j - 1]), :]
+                drawn[j] = np.random.choice([0, 1], p=step_probs)
 
-        return pd.Series(data=generated, name="grid")
+        return pd.Series(data=drawn, name="grid")
 
 
 class SampleGenerator:
@@ -606,9 +599,9 @@ class SampleGenerator:
     def create_forecasts(self, pv_args=None, load_args=None, preset_to_use=None,
                          print_mape=False, **forecast_args):
         if pv_args is None and load_args is None and preset_to_use is not None:
-            args = ForecastArgSet(preset_to_use=preset_to_use)
-            pv_args = args["pv_args"]
-            load_args = args["load_args"]
+            preset = ForecastArgSet(preset_to_use=preset_to_use)
+            pv_args = preset["pv_args"]
+            load_args = preset["load_args"]
         else:
             pv_args = pv_args or dict()
             load_args = load_args or dict()
@@ -651,31 +644,38 @@ class SampleGenerator:
         return np.mean(ratios[~np.isnan(ratios)])
 
     def sample_from_forecasts(self, n_samples=10, verbose=False, **sampling_args):
-        NPV = self.NPV
-        NL = NoisyLoadData(load_data=self.forecasts["load"])
-        NG = NoisyGridData(grid_data=self.forecasts["grid"])
+        pv_sampler = self.NPV
+        load_sampler = NoisyLoadData(load_data=self.forecasts["load"])
+        grid_sampler = NoisyGridData(grid_data=self.forecasts["grid"])
+
+        sampling_args.setdefault("noise_types", (None, "gaussian"))
 
         samples = []
-        if "noise_types" not in sampling_args:
-            sampling_args["noise_types"] = (None, "gaussian")
-
         for j in range(n_samples):
             if verbose:
                 print(f"Creating sample {j}")
-            pv_forecast = NPV.sample(**sampling_args)
-            load_forecast = NL.sample(**sampling_args)
-            grid_forecast = NG.sample()
-            sample = pd.concat([pv_forecast, load_forecast, grid_forecast], axis=1)
-            truncated = min(
-                len(NPV.unmunged_data), len(NL.unmunged_data), len(NG.unmunged_data)
+            drawn = pd.concat(
+                [
+                    pv_sampler.sample(**sampling_args),
+                    load_sampler.sample(**sampling_args),
+                    grid_sampler.sample(),
+                ],
+                axis=1,
             )
-            samples.append(sample.iloc[:truncated])
+            usable = min(
+                len(pv_sampler.unmunged_data),
+                len(load_sampler.unmunged_data),
+                len(grid_sampler.unmunged_data),
+            )
+            samples.append(drawn.iloc[:usable])
 
         self.samples = samples
         return samples
 
 
 class ForecastArgSet(dict):
+    _PUSH_RATIO_PRESETS = {50: 0.5, 70: 0.65, 85: 1.0}
+
     def __init__(self, pv_param_set=None, load_param_set=None, preset_to_use=None):
         if pv_param_set is None and load_param_set is None and preset_to_use is not None:
             super().__init__(self.get_preset(preset_to_use))
@@ -693,12 +693,7 @@ class ForecastArgSet(dict):
         self.mape_std = np.std(self.mape_vals)
 
     def get_preset(self, forecast_accuracy=50):
-        presets = {
-            50: 0.5,
-            70: 0.65,
-            85: 1.0,
-        }
-        if forecast_accuracy not in presets:
+        if forecast_accuracy not in self._PUSH_RATIO_PRESETS:
             raise ValueError(
                 f"do not have relevant sampling parameters for forecast accuracy "
                 f"{forecast_accuracy}, must be one of (50, 70, 85)"
@@ -709,7 +704,7 @@ class ForecastArgSet(dict):
                 "push_peak_val": True,
                 "push_peak_ratio": 0.0,
                 "push_individual_vals": True,
-                "push_individual_ratio": presets[forecast_accuracy],
+                "push_individual_ratio": self._PUSH_RATIO_PRESETS[forecast_accuracy],
             },
             "load_args": {"load_variance_scale": 2.0},
         }
