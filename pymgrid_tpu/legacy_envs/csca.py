@@ -1,7 +1,7 @@
 """Continuous-state continuous-action legacy envs, with safe-exploration
 variants.
 
-Mirror of ``src/pymgrid/_deprecated/Environments/pymgrid_csca.py``:
+Behavioral mirror of ``src/pymgrid/_deprecated/Environments/pymgrid_csca.py``:
 
 * :class:`MicrogridEnv` — abstract base over a nonmodular microgrid with
   optional random sub-trajectories;
@@ -39,6 +39,15 @@ __all__ = [
     "SafeExpMicrogridSampleEnv",
 ]
 
+# action/observation component names, by architecture
+_ACTION_KEYS_GENSET = ("genset", "grid_import", "grid_export", "battery_charge",
+                       "battery_discharge", "pv_consummed")
+_ACTION_KEYS_PLAIN = _ACTION_KEYS_GENSET[1:]
+_OBS_KEYS_GRID = ("load", "hour", "pv", "battery_soc", "capa_to_charge",
+                  "capa_to_discharge", "grid_status", "grid_co2",
+                  "grid_price_import", "grid_price_export")
+_OBS_KEYS_PLAIN = _OBS_KEYS_GRID[:6]
+
 
 class MicrogridEnv:
     """Gym-style MDP over a nonmodular microgrid (reference lines 55-171)."""
@@ -46,22 +55,7 @@ class MicrogridEnv:
     metadata = {"render.modes": ["human"]}
 
     def __init__(self, microgrid, trajectory_len=None, max_episode_len=None):
-        if isinstance(microgrid, int) and 0 <= microgrid <= 25:
-            from pymgrid_tpu.generator import MicrogridGenerator
-
-            print(
-                f"Initializing microgrid {microgrid} of 25 using 25 microgrids "
-                f"from MicrogridGenerator"
-            )
-            m_gen = MicrogridGenerator(nb_microgrid=25)
-            m_gen.generate_microgrid(verbose=False, modular=False)
-            self.microgrid = deepcopy(m_gen.microgrids[microgrid])
-        elif isinstance(microgrid, NonModularMicrogrid):
-            self.microgrid = deepcopy(microgrid)
-        else:
-            raise ValueError(
-                f"microgrid must be of type NonModularMicrogrid, is {type(microgrid)}"
-            )
+        self.microgrid = self._resolve_microgrid(microgrid)
 
         assert self.microgrid._data_length == 8760, (
             f"Microgrid data length should be 8760, is {self.microgrid._data_length}"
@@ -88,38 +82,52 @@ class MicrogridEnv:
         self.trajectory_len = trajectory_len
         self._short_trajectory_set()
 
+    @staticmethod
+    def _resolve_microgrid(microgrid):
+        if isinstance(microgrid, NonModularMicrogrid):
+            return deepcopy(microgrid)
+        if isinstance(microgrid, int) and 0 <= microgrid <= 25:
+            from pymgrid_tpu.generator import MicrogridGenerator
+
+            print(
+                f"Initializing microgrid {microgrid} of 25 using 25 microgrids "
+                f"from MicrogridGenerator"
+            )
+            generator = MicrogridGenerator(nb_microgrid=25)
+            generator.generate_microgrid(verbose=False, modular=False)
+            return deepcopy(generator.microgrids[microgrid])
+        raise ValueError(
+            f"microgrid must be of type NonModularMicrogrid, is {type(microgrid)}"
+        )
+
     def _short_trajectory_set(self):
         """Start a random fixed-length sub-trajectory (reference lines 101-110)."""
-        trajectory_len = self.trajectory_len
-        if trajectory_len is not None:
-            assert isinstance(trajectory_len, int)
-            high_range = (
-                self.microgrid._data_length - self.microgrid.horizon - trajectory_len
-            )
-            start_index = np.random.randint(low=0, high=high_range)
-            self.microgrid._tracking_timestep = start_index
-            self.microgrid._data_length = (
-                start_index + trajectory_len + self.microgrid.horizon
-            )
+        if self.trajectory_len is None:
+            return
+        assert isinstance(self.trajectory_len, int)
+        latest_start = (
+            self.microgrid._data_length - self.microgrid.horizon - self.trajectory_len
+        )
+        start_index = np.random.randint(low=0, high=latest_start)
+        self.microgrid._tracking_timestep = start_index
+        self.microgrid._data_length = (
+            start_index + self.trajectory_len + self.microgrid.horizon
+        )
 
     def reset(self):
         self.microgrid.reset()
         self._short_trajectory_set()
-        initial_state = self.microgrid.get_updated_values()
-        observations = np.array(list(initial_state.values()))
+        observations = np.array(list(self.microgrid.get_updated_values().values()))
         self.current_obs = observations
         return observations
 
     def step(self, action, **kwargs):
-        control_dict = self.get_control_dict(action)
-        observation = self.run_control(control_dict)
+        observation = self.run_control(self.get_control_dict(action))
         reward = -1.0 * self.microgrid.get_cost()
-        done = self.microgrid.done
-        info = dict()
 
         self.current_obs = observation
         self.current_action = action
-        return observation, reward, done, info
+        return observation, reward, self.microgrid.done, dict()
 
     def get_control_dict(self, action):
         return NotImplemented
@@ -151,15 +159,25 @@ class ContinuousMicrogridEnv(MicrogridEnv):
         )
 
         self.standardization = standardization
-        if self.standardization:
-            self.standardizations = self.pre_compute_standardizations()
-            low_new = self.standardize(self.action_space.low, use_proxy="action")
-            self.action_space.low = low_new
-            high_new = self.standardize(self.action_space.high, use_proxy="action")
-            high_new[1] = 0.1  # reference's hard-coded grid_export bound (line 200)
-            self.action_space.high = high_new
-        else:
+        if not self.standardization:
             self.standardizations = None
+            return
+
+        self.standardizations = self.pre_compute_standardizations()
+        self.action_space.low = self.standardize(
+            self.action_space.low, use_proxy="action"
+        )
+        scaled_high = self.standardize(self.action_space.high, use_proxy="action")
+        scaled_high[1] = 0.1  # reference's hard-coded grid_export bound (line 200)
+        self.action_space.high = scaled_high
+
+    @property
+    def _action_keys(self):
+        return _ACTION_KEYS_GENSET if self.has_genset else _ACTION_KEYS_PLAIN
+
+    @property
+    def _obs_keys(self):
+        return _OBS_KEYS_GRID if self.has_grid else _OBS_KEYS_PLAIN
 
     def _get_action_ub_lb(self):
         params = self.microgrid.parameters
@@ -167,44 +185,31 @@ class ContinuousMicrogridEnv(MicrogridEnv):
         def _param(name):
             return params[name].values[0] if name in params else 0.0
 
-        p_max_import = _param("grid_power_import")
-        p_max_export = _param("grid_power_export")
-        p_max_charge = params["battery_power_charge"].values[0]
-        p_max_discharge = params["battery_power_discharge"].values[0]
-        pv_max = params.PV_rated_power.squeeze()
-
-        upper_bound = [p_max_import, p_max_export, p_max_charge, p_max_discharge, pv_max]
+        upper_bound = [
+            _param("grid_power_import"),
+            _param("grid_power_export"),
+            params["battery_power_charge"].values[0],
+            params["battery_power_discharge"].values[0],
+            params.PV_rated_power.squeeze(),
+        ]
         lower_bound = [0] * 5
 
         if self.has_genset:
-            p_genset_max = (
-                params["genset_rated_power"].values[0] * params["genset_pmax"].values[0]
-            )
-            p_genset_min = (
-                params["genset_rated_power"].values[0] * params["genset_pmin"].values[0]
-            )
-            upper_bound.insert(0, p_genset_max)
-            lower_bound.insert(0, p_genset_min)
+            rated = params["genset_rated_power"].values[0]
+            upper_bound.insert(0, rated * params["genset_pmax"].values[0])
+            lower_bound.insert(0, rated * params["genset_pmin"].values[0])
 
-        return np.array(upper_bound, dtype=np.float64), np.array(lower_bound, dtype=np.float64)
+        return (
+            np.array(upper_bound, dtype=np.float64),
+            np.array(lower_bound, dtype=np.float64),
+        )
 
     def get_values(self, *value_names):
         """Unstandardized current action/observation components by name
         (reference lines 237-291)."""
-        genset_actions = ["genset", "grid_import", "grid_export", "battery_charge",
-                          "battery_discharge", "pv_consummed"]
-        no_genset_actions = ["grid_import", "grid_export", "battery_charge",
-                             "battery_discharge", "pv_consummed"]
-        grid_observations = ["load", "hour", "pv", "battery_soc", "capa_to_charge",
-                             "capa_to_discharge", "grid_status", "grid_co2",
-                             "grid_price_import", "grid_price_export"]
-        no_grid_observations = ["load", "hour", "pv", "battery_soc", "capa_to_charge",
-                                "capa_to_discharge"]
-
         if self.current_action is None:
             print("Warning: current_action is None, should only happen on first iteration")
-            n_actions = len(genset_actions) if self.has_genset else len(no_genset_actions)
-            self.current_action = np.array([0] * n_actions)
+            self.current_action = np.array([0] * len(self._action_keys))
             action = self.current_action
             obs = self.current_obs
         elif self.standardization:
@@ -217,10 +222,8 @@ class ContinuousMicrogridEnv(MicrogridEnv):
             action = self.current_action
             obs = self.current_obs
 
-        actions_dict = dict(zip(genset_actions if self.has_genset else no_genset_actions,
-                                action))
-        obs_dict = dict(zip(grid_observations if self.has_grid else no_grid_observations,
-                            obs))
+        actions_dict = dict(zip(self._action_keys, action))
+        obs_dict = dict(zip(self._obs_keys, obs))
 
         values = []
         for name in value_names:
@@ -302,11 +305,6 @@ class ContinuousMicrogridEnv(MicrogridEnv):
         (reference lines 393-457)."""
         from pymgrid_tpu.algos.mpc import ModelPredictiveControl
 
-        action_mean = [0] * self.action_space.shape[0]
-        action_std = [0] * self.action_space.shape[0]
-        obs_mean = [0] * self.observation_space.shape[0]
-        obs_std = [0] * self.observation_space.shape[0]
-
         if alg_to_use != "mpc":
             raise RuntimeError(f"algorithm name {alg_to_use} not currently supported")
 
@@ -316,28 +314,18 @@ class ContinuousMicrogridEnv(MicrogridEnv):
         mpc_output = mpc.run(max_steps=STANDARDIZATION_MPC_STEPS)
         self.microgrid.horizon = old_horizon
 
-        if self.has_genset:
-            action_keys = ("genset", "grid_import", "grid_export", "battery_charge",
-                           "battery_discharge", "pv_consummed")
-        else:
-            action_keys = ("grid_import", "grid_export", "battery_charge",
-                           "battery_discharge", "pv_consummed")
+        def summarize(frame, keys):
+            means = [np.mean(frame[name]) for name in keys]
+            stds = [np.std(frame[name]) for name in keys]
+            return means, stds
 
-        for j, name in enumerate(action_keys):
-            action_mean[j] = np.mean(mpc_output["action"][name])
-            action_std[j] = np.std(mpc_output["action"][name])
-
+        action_mean, action_std = summarize(mpc_output["action"], self._action_keys)
         obs_keys = list(self.microgrid._df_record_state.keys())
-        for j, name in enumerate(obs_keys):
-            obs_mean[j] = np.mean(mpc_output["status"][name])
-            obs_std[j] = np.std(mpc_output["status"][name])
+        obs_mean, obs_std = summarize(mpc_output["status"], obs_keys)
 
-        for j in range(len(obs_std)):
-            if obs_std[j] < 1.0:
-                obs_std[j] = 1.0
-        for j in range(len(action_std)):
-            if action_std[j] < 1.0:
-                action_std[j] = 1.0
+        # unit floor on every std so standardization never blows up
+        obs_std = [max(s, 1.0) for s in obs_std]
+        action_std = [max(s, 1.0) for s in action_std]
 
         names = ("obs_mean", "obs_std", "action_mean", "action_std")
         outputs = tuple(
@@ -427,16 +415,15 @@ class SafeExpMicrogridEnv(ContinuousMicrogridEnv):
         return np.append(inequality_constraints, self._get_energy_balance())
 
     def _get_energy_balance(self):
+        names = ["grid_import", "grid_export", "battery_charge", "battery_discharge",
+                 "load", "pv", "pv_consummed"]
         if self.has_genset:
+            names.insert(4, "genset")
             (p_import, p_export, p_charge, p_discharge, p_genset, load, pv,
-             pv_consumed) = self.get_values(
-                "grid_import", "grid_export", "battery_charge", "battery_discharge",
-                "genset", "load", "pv", "pv_consummed")
+             pv_consumed) = self.get_values(*names)
         else:
             (p_import, p_export, p_charge, p_discharge, load, pv,
-             pv_consumed) = self.get_values(
-                "grid_import", "grid_export", "battery_charge", "battery_discharge",
-                "load", "pv", "pv_consummed")
+             pv_consumed) = self.get_values(*names)
             p_genset = 0
 
         pv_curtailed = pv - pv_consumed
@@ -448,67 +435,46 @@ class SafeExpMicrogridEnv(ContinuousMicrogridEnv):
             energy_balance /= float(self.microgrid.parameters.battery_capacity.squeeze())
         return energy_balance
 
+    def _push(self, constraints, value, scale):
+        """Append ``value`` (or ``value/scale`` when scaling is on)."""
+        constraints.append(value / scale if self.scale_constraints else value)
+
     def _get_inequality_constraints(self):
         constraints = []
 
         p_charge, p_discharge, p_max_charge, p_max_discharge = self.get_values(
             "battery_charge", "battery_discharge", "capa_to_charge", "capa_to_discharge"
         )
-        if self.scale_constraints:
-            charge_scale = float(self.microgrid.parameters.battery_capacity.squeeze())
-            constraints.append((p_charge - p_max_charge) / charge_scale)
-            constraints.append((p_discharge - p_max_discharge) / charge_scale)
-        else:
-            constraints.append(p_charge - p_max_charge)
-            constraints.append(p_discharge - p_max_discharge)
+        charge_scale = float(self.microgrid.parameters.battery_capacity.squeeze())
+        self._push(constraints, p_charge - p_max_charge, charge_scale)
+        self._push(constraints, p_discharge - p_max_discharge, charge_scale)
 
         p_max_import = self.microgrid.parameters["grid_power_import"].values[0]
         p_max_export = self.microgrid.parameters["grid_power_export"].values[0]
         p_import, p_export, grid_status = self.get_values(
             "grid_import", "grid_export", "grid_status"
         )
-        if self.scale_constraints:
-            constraints.append((p_import - p_max_import * grid_status) / p_max_import)
-            constraints.append((p_export - p_max_export * grid_status) / p_max_export)
-        else:
-            constraints.append(p_import - p_max_import * grid_status)
-            constraints.append(p_export - p_max_export * grid_status)
+        self._push(constraints, p_import - p_max_import * grid_status, p_max_import)
+        self._push(constraints, p_export - p_max_export * grid_status, p_max_export)
 
-        battery_max = self.microgrid.parameters["battery_soc_max"].values[0]
-        battery_min = self.microgrid.parameters["battery_soc_min"].values[0]
+        soc_max = self.microgrid.parameters["battery_soc_max"].values[0]
+        soc_min = self.microgrid.parameters["battery_soc_min"].values[0]
         (battery_soc,) = self.get_values("battery_soc")
-        if self.scale_constraints:
-            constraints.append((battery_soc - battery_max) / battery_max)
-            constraints.append((battery_min - battery_soc) / battery_min)
-        else:
-            constraints.append(battery_soc - battery_max)
-            constraints.append(battery_min - battery_soc)
+        self._push(constraints, battery_soc - soc_max, soc_max)
+        self._push(constraints, soc_min - battery_soc, soc_min)
 
         if self.has_genset:
-            p_genset_max = (
-                self.microgrid.parameters["genset_rated_power"].values[0]
-                * self.microgrid.parameters["genset_pmax"].values[0]
-            )
-            p_genset_min = (
-                self.microgrid.parameters["genset_rated_power"].values[0]
-                * self.microgrid.parameters["genset_pmin"].values[0]
-            )
+            rated = self.microgrid.parameters["genset_rated_power"].values[0]
+            p_genset_max = rated * self.microgrid.parameters["genset_pmax"].values[0]
+            p_genset_min = rated * self.microgrid.parameters["genset_pmin"].values[0]
             (p_genset,) = self.get_values("genset")
 
             if p_genset < 1:
-                if self.scale_constraints:
-                    constraints.append((p_genset - 1) / p_genset_max)
-                    constraints.append((-p_genset - self.balance_tolerance) / p_genset_max)
-                else:
-                    constraints.append(p_genset - 1)
-                    constraints.append(-p_genset - self.balance_tolerance)
+                self._push(constraints, p_genset - 1, p_genset_max)
+                self._push(constraints, -p_genset - self.balance_tolerance, p_genset_max)
             else:
-                if self.scale_constraints:
-                    constraints.append((p_genset - p_genset_max) / p_genset_max)
-                    constraints.append((p_genset_min - p_genset) / p_genset_min)
-                else:
-                    constraints.append(p_genset - p_genset_max)
-                    constraints.append(p_genset_min - p_genset)
+                self._push(constraints, p_genset - p_genset_max, p_genset_max)
+                self._push(constraints, p_genset_min - p_genset, p_genset_min)
 
         return np.array(constraints)
 

@@ -1,8 +1,9 @@
 """Continuous-state priority-list-action legacy env.
 
-Mirror of ``src/pymgrid/_deprecated/Environments/pymgrid_cspla.py``: a
-``Discrete(Na)`` action space where each action is one heuristic dispatch
-(charge / discharge / import / export / genset / ...), mapped through
+Behavioral mirror of
+``src/pymgrid/_deprecated/Environments/pymgrid_cspla.py``: a ``Discrete(Na)``
+action space where each action is one heuristic dispatch (charge / discharge
+/ import / export / genset / ...), mapped through
 :meth:`Environment.get_action_priority_list`.
 """
 from pymgrid_tpu.legacy_envs.environment import Environment
@@ -15,16 +16,14 @@ class MicroGridEnv(Environment):
     """Action count: 2 + 3·grid + genset (+1 when both grid and genset),
     reference pymgrid_cspla.py:42-48."""
 
-    def __init__(self, env_config, seed=42):
-        super().__init__(env_config, seed)
-        self.Na = (
-            2
-            + self.mg.architecture["grid"] * 3
-            + self.mg.architecture["genset"] * 1
-        )
-        if self.mg.architecture["grid"] == 1 and self.mg.architecture["genset"] == 1:
-            self.Na += 1
-        self.action_space = Discrete(self.Na)
-
     def get_action(self, action):
         return self.get_action_priority_list(action)
+
+    def __init__(self, env_config, seed=42):
+        super().__init__(env_config, seed)
+        architecture = self.mg.architecture
+        count = 2 + architecture["grid"] * 3 + architecture["genset"] * 1
+        if architecture["grid"] == 1 and architecture["genset"] == 1:
+            count += 1
+        self.Na = count
+        self.action_space = Discrete(self.Na)

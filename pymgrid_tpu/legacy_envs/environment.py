@@ -1,9 +1,9 @@
 """Legacy gym-style environment base over the nonmodular microgrid.
 
-Mirror of ``src/pymgrid/_deprecated/Environments/Environment.py``: an MDP
-over a :class:`~pymgrid_tpu.NonModularMicrogrid` with reward smoothing,
-optional SAA resampling on reset, and the three action mappers (continuous,
-discrete, priority-list) shared by the concrete envs.
+Behavioral mirror of ``src/pymgrid/_deprecated/Environments/Environment.py``:
+an MDP over a :class:`~pymgrid_tpu.NonModularMicrogrid` with reward
+smoothing, optional SAA resampling on reset, and the three action mappers
+(continuous, discrete, priority-list) shared by the concrete envs.
 
 Fixed relative to the reference (which is broken as shipped — it imports the
 nonexistent ``pymgrid.Environments`` package and the dead ``np.float``
@@ -31,9 +31,22 @@ def generate_sampler(microgrid, forecast_args):
     """SAA instance used for resampling on reset (reference lines 35-45)."""
     from pymgrid_tpu.algos.saa import SampleAverageApproximation
 
-    if forecast_args is None:
-        forecast_args = dict()
-    return SampleAverageApproximation(microgrid, **forecast_args)
+    return SampleAverageApproximation(microgrid, **(forecast_args or dict()))
+
+
+def _control(pv, load, **overrides):
+    """A legacy control dict: pv self-consumption plus zeroed channels,
+    overridden per action."""
+    out = {
+        "pv_consummed": min(pv, load),
+        "battery_charge": 0,
+        "battery_discharge": 0,
+        "grid_import": 0,
+        "grid_export": 0,
+        "genset": 0,
+    }
+    out.update(overrides)
+    return out
 
 
 class Environment:
@@ -90,7 +103,21 @@ class Environment:
         if not self.observation_space.contains(self.state):
             print("ERROR : INVALID STATE", self.state)
 
-    # --------------------------------------------------------------- rewards
+    # ------------------------------------------------------------ mdp surface
+    def seed(self, seed=None):
+        self._np_random = np.random.RandomState(seed)
+        return [seed]
+
+    def render(self, mode="human"):
+        print(f"state: {self.state} reward: {self.reward} info: {self.info}")
+
+    def states(self):
+        return []
+
+    def get_action(self, action):
+        """Map an action to a control dict — overridden by subclasses."""
+        return []
+
     def get_reward(self):
         if self.TRAIN:
             if self.training_reward_smoothing == "sqrt":
@@ -102,7 +129,19 @@ class Environment:
     def get_cost(self):
         return sum(self.mg._df_record_cost["total_cost"])
 
-    # ------------------------------------------------------------------ step
+    def transition(self):
+        """Normalized state vector with the hour encoded as (sin, cos)."""
+        raw = self.mg.get_updated_values()
+        scaled = {
+            key: float(raw[key]) / self.states_normalization[key]
+            for key in self.states_normalization
+        }
+        # 'hour' was already divided by 24 above
+        scaled["hour_sin"] = np.sin(2 * np.pi * scaled["hour"])
+        scaled["hour_cos"] = np.cos(2 * np.pi * scaled["hour"])
+        scaled.pop("hour", None)
+        return np.array(list(scaled.values()))
+
     def step(self, action):
         if self.done:
             print("WARNING : EPISODE DONE")  # should never reach this point
@@ -112,8 +151,7 @@ class Environment:
         if self.action_space is not None and not self.action_space.contains(action):
             print("ERROR : INVALD ACTION", action)
 
-        control_dict = self.get_action(action)
-        self.mg.run(control_dict)
+        self.mg.run(self.get_action(action))
 
         self.state = self.transition()
         self.reward = self.get_reward()
@@ -140,34 +178,6 @@ class Environment:
 
         self.state, self.reward, self.done, self.info = self.transition(), 0, False, {}
         return self.state
-
-    def get_action(self, action):
-        """Map an action to a control dict — overridden by subclasses."""
-        return []
-
-    def states(self):
-        return []
-
-    # ------------------------------------------------------------ transition
-    def transition(self):
-        """Normalized state vector with the hour encoded as (sin, cos)."""
-        updated_values = self.mg.get_updated_values()
-        updated_values = {
-            x: float(updated_values[x]) / self.states_normalization[x]
-            for x in self.states_normalization
-        }
-        # 'hour' was already divided by 24 above
-        updated_values["hour_sin"] = np.sin(2 * np.pi * updated_values["hour"])
-        updated_values["hour_cos"] = np.cos(2 * np.pi * updated_values["hour"])
-        updated_values.pop("hour", None)
-        return np.array(list(updated_values.values()))
-
-    def seed(self, seed=None):
-        self._np_random = np.random.RandomState(seed)
-        return [seed]
-
-    def render(self, mode="human"):
-        print(f"state: {self.state} reward: {self.reward} info: {self.info}")
 
     # ------------------------------------------------- action mappers (shared)
     def get_action_continuous(self, action):
@@ -217,8 +227,7 @@ class Environment:
 
     def get_action_discrete(self, action):
         """Tuple-of-discretes action → control dict (reference lines 282-316)."""
-        control_dict = {}
-        control_dict["pv_consumed"] = action[0]
+        control_dict = {"pv_consumed": action[0]}
         if self.mg.architecture["battery"] == 1:
             control_dict["battery_charge"] = action[1] * action[3]
             control_dict["battery_discharge"] = action[2] * (1 - action[3])
@@ -244,190 +253,105 @@ class Environment:
             return self.action_genset(mg, action)
         return self.action_grid(mg, action)
 
+    @staticmethod
+    def _battery_dispatch_limits(mg, net_load):
+        """(charge-from-pv, charge-from-anywhere, discharge) power limits."""
+        charge_pv = max(
+            0, min(-net_load, mg.battery.capa_to_charge, mg.battery.p_charge_max)
+        )
+        charge_any = max(0, min(mg.battery.capa_to_charge, mg.battery.p_charge_max))
+        discharge = max(
+            0, min(net_load, mg.battery.capa_to_discharge, mg.battery.p_discharge_max)
+        )
+        return charge_pv, charge_any, discharge
+
     def action_grid(self, mg, action):
         """Grid-slack dispatch, 5 actions (reference lines 352-420)."""
-        pv = mg.pv
-        load = mg.load
+        pv, load = mg.pv, mg.load
         net_load = load - pv
-
-        capa_to_charge = mg.battery.capa_to_charge
-        p_charge_max = mg.battery.p_charge_max
-        p_charge_pv = max(0, min(-net_load, capa_to_charge, p_charge_max))
-        p_charge_grid = max(0, min(capa_to_charge, p_charge_max))
-
-        capa_to_discharge = mg.battery.capa_to_discharge
-        p_discharge_max = mg.battery.p_discharge_max
-        p_discharge = max(0, min(net_load, capa_to_discharge, p_discharge_max))
+        charge_pv, charge_any, discharge = self._battery_dispatch_limits(mg, net_load)
 
         if action == 0:  # charge from pv
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": p_charge_pv,
-                "battery_discharge": 0,
-                "grid_import": 0,
-                "grid_export": max(0, pv - min(pv, load) - p_charge_pv),
-                "genset": 0,
-            }
+            return _control(
+                pv, load,
+                battery_charge=charge_pv,
+                grid_export=max(0, pv - min(pv, load) - charge_pv),
+            )
         if action == 4:  # charge from grid
-            load = load + p_charge_grid
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": p_charge_grid,
-                "battery_discharge": 0,
-                "grid_import": max(0, load - min(pv, load)),
-                "grid_export": max(0, pv - min(pv, load) - p_charge_grid),
-                "genset": 0,
-            }
+            load = load + charge_any
+            return _control(
+                pv, load,
+                battery_charge=charge_any,
+                grid_import=max(0, load - min(pv, load)),
+                grid_export=max(0, pv - min(pv, load) - charge_any),
+            )
         if action == 1:  # discharge
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": 0,
-                "battery_discharge": p_discharge,
-                "grid_import": max(0, load - min(pv, load) - p_discharge),
-                "grid_export": 0,
-                "genset": 0,
-            }
+            return _control(
+                pv, load,
+                battery_discharge=discharge,
+                grid_import=max(0, load - min(pv, load) - discharge),
+            )
         if action == 2:  # import
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": 0,
-                "battery_discharge": 0,
-                "grid_import": max(0, net_load),
-                "grid_export": 0,
-                "genset": 0,
-            }
+            return _control(pv, load, grid_import=max(0, net_load))
         if action == 3:  # export
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": 0,
-                "battery_discharge": 0,
-                "grid_import": 0,
-                "grid_export": abs(min(net_load, 0)),
-                "genset": 0,
-            }
+            return _control(pv, load, grid_export=abs(min(net_load, 0)))
         raise ValueError(f"invalid action {action}")
 
     def action_grid_genset(self, mg, action):
         """Grid+genset dispatch, 7 actions (reference lines 422-521)."""
-        pv = mg.pv
-        load = mg.load
+        pv, load = mg.pv, mg.load
         net_load = load - pv
         status = mg.grid.status  # outage indicator
-
-        capa_to_charge = mg.battery.capa_to_charge
-        p_charge_max = mg.battery.p_charge_max
-        p_charge_pv = max(0, min(-net_load, capa_to_charge, p_charge_max))
-        p_charge_grid = max(0, min(capa_to_charge, p_charge_max))
-
-        capa_to_discharge = mg.battery.capa_to_discharge
-        p_discharge_max = mg.battery.p_discharge_max
-        p_discharge = max(0, min(net_load, capa_to_discharge, p_discharge_max))
+        charge_pv, charge_any, discharge = self._battery_dispatch_limits(mg, net_load)
 
         if action == 0:  # charge from pv
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": p_charge_pv,
-                "battery_discharge": 0,
-                "grid_import": 0,
-                "grid_export": max(0, pv - min(pv, load) - p_charge_pv) * status,
-                "genset": 0,
-            }
+            return _control(
+                pv, load,
+                battery_charge=charge_pv,
+                grid_export=max(0, pv - min(pv, load) - charge_pv) * status,
+            )
         if action == 5:  # charge from grid
-            load = load + p_charge_grid
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": p_charge_grid,
-                "battery_discharge": 0,
-                "grid_import": max(0, load - min(pv, load)) * status,
-                "grid_export": max(0, pv - min(pv, load) - p_charge_grid) * status,
-                "genset": 0,
-            }
+            load = load + charge_any
+            return _control(
+                pv, load,
+                battery_charge=charge_any,
+                grid_import=max(0, load - min(pv, load)) * status,
+                grid_export=max(0, pv - min(pv, load) - charge_any) * status,
+            )
         if action == 1:  # discharge
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": 0,
-                "battery_discharge": p_discharge,
-                "grid_import": max(0, load - min(pv, load) - p_discharge) * status,
-                "grid_export": 0,
-                "genset": 0,
-            }
+            return _control(
+                pv, load,
+                battery_discharge=discharge,
+                grid_import=max(0, load - min(pv, load) - discharge) * status,
+            )
         if action == 2:  # import
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": 0,
-                "battery_discharge": 0,
-                "grid_import": max(0, net_load) * status,
-                "grid_export": 0,
-                "genset": 0,
-            }
+            return _control(pv, load, grid_import=max(0, net_load) * status)
         if action == 3:  # export
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": 0,
-                "battery_discharge": 0,
-                "grid_import": 0,
-                "grid_export": abs(min(net_load, 0)) * status,
-                "genset": 0,
-            }
+            return _control(pv, load, grid_export=abs(min(net_load, 0)) * status)
         if action == 4:  # genset covers net load
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": 0,
-                "battery_discharge": 0,
-                "grid_import": 0,
-                "grid_export": 0,
-                "genset": max(net_load, 0),
-            }
+            return _control(pv, load, genset=max(net_load, 0))
         if action == 6:  # discharge + genset backstop
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": 0,
-                "battery_discharge": p_discharge,
-                "grid_import": 0,
-                "grid_export": 0,
-                "genset": max(0, load - min(pv, load) - p_discharge),
-            }
+            return _control(
+                pv, load,
+                battery_discharge=discharge,
+                genset=max(0, load - min(pv, load) - discharge),
+            )
         raise ValueError(f"invalid action {action}")
 
     def action_genset(self, mg, action):
         """Genset-slack dispatch, 3 actions (reference lines 523-583)."""
-        pv = mg.pv
-        load = mg.load
+        pv, load = mg.pv, mg.load
         net_load = load - pv
-
-        capa_to_charge = mg.battery.capa_to_charge
-        p_charge_max = mg.battery.p_charge_max
-        p_charge = max(0, min(-net_load, capa_to_charge, p_charge_max))
-
-        capa_to_discharge = mg.battery.capa_to_discharge
-        p_discharge_max = mg.battery.p_discharge_max
-        p_discharge = max(0, min(net_load, capa_to_discharge, p_discharge_max))
+        charge_pv, _, discharge = self._battery_dispatch_limits(mg, net_load)
 
         if action == 0:  # charge
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": p_charge,
-                "battery_discharge": 0,
-                "grid_import": 0,
-                "grid_export": 0,
-                "genset": 0,
-            }
+            return _control(pv, load, battery_charge=charge_pv)
         if action == 1:  # discharge + genset backstop
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": 0,
-                "battery_discharge": p_discharge,
-                "grid_import": 0,
-                "grid_export": 0,
-                "genset": max(0, load - min(pv, load) - p_discharge),
-            }
+            return _control(
+                pv, load,
+                battery_discharge=discharge,
+                genset=max(0, load - min(pv, load) - discharge),
+            )
         if action == 2:  # genset only
-            return {
-                "pv_consummed": min(pv, load),
-                "battery_charge": 0,
-                "battery_discharge": 0,
-                "grid_import": 0,
-                "grid_export": 0,
-                "genset": max(0, load - min(pv, load)),
-            }
+            return _control(pv, load, genset=max(0, load - min(pv, load)))
         raise ValueError(f"invalid action {action}")
