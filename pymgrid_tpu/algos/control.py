@@ -98,9 +98,11 @@ class ControlOutput(dict):
                slice_to_use=0):
         if isinstance(other_output, ControlOutput):
             for name in self.keys():
-                if name not in other_output.keys():
+                try:
+                    incoming = other_output[name]
+                except KeyError:
                     raise KeyError(f"name {name} not founds in other_output keys")
-                self[name].append(other_output[name].iloc[slice_to_use], ignore_index=True)
+                self[name].append(incoming.iloc[slice_to_use], ignore_index=True)
             return
 
         if not isinstance(other_output, HorizonOutput):
@@ -174,11 +176,9 @@ class Benchmarks:
         self.is_modular = hasattr(microgrid, "modules")
         self.outputs_dict = dict()
 
-        self.mpc_output = None
+        self.mpc_output = self.rule_based_output = self.saa_output = None
         self.has_mpc_benchmark = False
-        self.rule_based_output = None
         self.has_rule_based_benchmark = False
-        self.saa_output = None
         self.has_saa_benchmark = False
 
     def run_mpc_benchmark(self, verbose=False, **kwargs):

@@ -1,25 +1,42 @@
 """Batched on-chip model predictive control.
 
-Receding-horizon MPC where the horizon LP is solved *on the TPU* for a whole
-batch of replicas at once (:mod:`pymgrid_tpu.core.lp`), and the resulting
-first-step control feeds the compiled engine — planner and simulator in one
-jitted program per step:
+Receding-horizon MPC where the horizon problem is solved *on the TPU* for a
+whole batch of replicas at once (:mod:`pymgrid_tpu.core.lp`), and the
+resulting first-step control feeds the compiled engine — planner and
+simulator in one jitted program per step:
 
     state -> (c, b, h) from HBM time-series windows -> batched interior-point
     LP solve -> first-block controls -> three-phase dispatch -> state'
 
 The LP is the reference MPC's modular formulation (same block matrices as
 :class:`pymgrid_tpu.algos.mpc.ModelPredictiveControl`, which this class
-reuses as the builder).  Supports grid-connected configs without a genset
-(the genset boolean makes the exact problem a MILP; use the host MPC for
-those, or the LP relaxation here knowingly).
+reuses as the builder).
 
-Status: float64 solves match HiGHS to ~1e-5 objective and receding-horizon
-trajectories track the host MPC within a few percent (interior-point
-solutions sit on the analytic center of degenerate optimal faces, not a
-simplex vertex).  The float32 TPU path is functional but the batched dense
-Cholesky is slow there — replacing the normal-equation solve with matvec-only
-CG is the planned TPU fast path.
+**Genset (MILP) support.**  The genset on/off boolean ``u_t`` makes the
+horizon problem a MILP (reference ``algos/mpc/mpc.py:85-97``): the genset is
+semi-continuous, ``p_t in {0} U [p_min, p_max]``.  On chip this is solved
+TPU-first, exploiting that fixing the status pattern ``u in {0,1}^H`` only
+changes the inequality right-hand side ``h`` (cap rows become ``p_max*u``,
+dedicated minimum rows become ``-p_min*u``) while the constraint *matrices*
+stay shared — so every candidate pattern is one more problem in a batched
+IPM solve:
+
+1. solve the LP relaxation (``p in [0, p_max]``, exactly the MILP's natural
+   relaxation since ``u`` carries no cost);
+2. steps whose relaxed production lands strictly inside ``(0, p_min)`` are
+   the fractional decisions; all others are provably optimal to round
+   (keeping the relaxed solution feasible at equal cost);
+3. enumerate the ``2^k`` on/off patterns over the ``k`` most fractional
+   steps (``k = enum_bits``, default 5) around the rounded base pattern and
+   solve them *as one batch*; take the cheapest.
+
+When no step is fractional the relaxation is integral and the result is the
+exact MILP optimum; otherwise the enumeration bounds the gap by construction
+(validated against host HiGHS MILP in ``tests/test_lp_mpc.py``).
+
+Status: float64 solves match HiGHS to ~1e-5 objective.  The float32 TPU path
+is functional but the batched dense Cholesky is the hot spot; replacing the
+normal-equation solve with matvec-only CG is the planned TPU fast path.
 
 :class:`ProblemTemplate` factors the (c, b, h) assembly so the stochastic
 variant (:mod:`pymgrid_tpu.algos.saa_jax`) can drive the same LP from
@@ -35,26 +52,25 @@ class ProblemTemplate:
 
     Wraps the host MPC's block matrices; ``assemble`` is traceable and maps
     per-horizon vectors (load, pv, prices, co2, grid status, initial SOC) to
-    the LP data ``(c, b, h)``.
+    the LP data ``(c, b, h)``.  For genset configs the inequality system is
+    extended with H semi-continuity minimum rows (``-p_t <= -p_min*u_t``)
+    whose right-hand sides :meth:`apply_genset_pattern` fills per status
+    pattern.
     """
 
     def __init__(self, microgrid, iters=30, dtype=np.float64, relax_genset=False):
+        import jax
         import jax.numpy as jnp
+        from scipy import sparse
 
         from pymgrid_tpu.algos.mpc import ModelPredictiveControl
         from pymgrid_tpu.core.lp import make_batched_ipm_solver
         from pymgrid_tpu.core.spec import extract_spec
 
         self.host_mpc = ModelPredictiveControl(microgrid)
-        if self.host_mpc.has_genset and not relax_genset:
-            raise NotImplementedError(
-                "The genset on/off boolean makes the horizon problem a MILP; "
-                "use the host ModelPredictiveControl, or pass relax_genset=True "
-                "to solve the LP relaxation on chip."
-            )
+        self.relax_genset = relax_genset
 
         self.spec, params, _ = extract_spec(microgrid, dtype=dtype)
-        import jax
 
         self.params = jax.tree.map(jnp.asarray, params)
         self.horizon = self.host_mpc.horizon
@@ -64,14 +80,25 @@ class ProblemTemplate:
         self.has_genset = self.host_mpc.has_genset
         self.dtype = jnp.dtype(dtype)
         self.costs_static = jnp.asarray(np.asarray(self.host_mpc._costs), dtype)
+        self.p_genset_min = float(self.host_mpc.p_genset_min)
+        self.p_genset_max = float(self.host_mpc.p_genset_max)
 
         K_eq = np.asarray(self.host_mpc._A_eq.todense())
         K_in = np.asarray(self.host_mpc._C_ub.todense())
+        if self.has_genset:
+            # H extra semi-continuity rows: -p_genset_t <= -p_min * u_t
+            H, nb = self.horizon, self.block
+            min_rows = sparse.lil_matrix((H, K_in.shape[1]))
+            for j in range(H):
+                min_rows[j, j * nb] = -1.0
+            K_in = np.concatenate([K_in, np.asarray(min_rows.todense())], axis=0)
+        self.n_in_rows = K_in.shape[0]
         self.solver = make_batched_ipm_solver(K_eq, K_in, iters=iters, dtype=dtype)
 
         self.load_ref = next(m for m in self.spec.fixed if m.kind == "load")
         self.pv_ref = next(m for m in self.spec.flex if m.kind == "renewable")
         self.grid_refs = [m for m in self.spec.controllable if m.kind == "grid"]
+        self.genset_refs = [m for m in self.spec.controllable if m.kind == "genset"]
         self.battery_ref = next(
             m for m in self.spec.controllable if m.kind == "battery"
         )
@@ -112,8 +139,12 @@ class ProblemTemplate:
         return state["battery_charge"][i] / pb["max_capacity"][i]
 
     def assemble(self, params, load_vec, pv_vec, grid, grid_status, soc_0):
-        """LP data from horizon vectors.  ``load_vec``/``pv_vec``/``grid_status``
-        are (H,); ``grid`` is the dict from :meth:`grid_windows`."""
+        """LP data from horizon vectors, in the *relaxed* genset form
+        (cap rows at ``p_max``, minimum rows at 0).
+
+        ``load_vec``/``pv_vec``/``grid_status`` are (H,); ``grid`` is the
+        dict from :meth:`grid_windows`.
+        """
         import jax.numpy as jnp
 
         H, dtype = self.horizon, self.dtype
@@ -128,17 +159,21 @@ class ProblemTemplate:
 
         b = jnp.zeros(2 * H, dtype).at[:H].set(load_vec - pv_vec).at[H].set(soc_0)
 
-        block = jnp.stack(
-            [e_max, -e_min, p_max_charge, p_max_discharge,
-             jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
-             jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)]
-        )
-        h = jnp.tile(block, H)
+        zero = jnp.asarray(0.0, dtype)
+        if self.has_genset:
+            per_step = [jnp.asarray(self.p_genset_max, dtype)]
+        else:
+            per_step = []
+        per_step += [e_max, -e_min, p_max_charge, p_max_discharge, zero, zero, zero, zero]
+        h = jnp.tile(jnp.stack(per_step), H)
         off = rps - 4
         h = h.at[off::rps].set(grid["p_max_imp"] * grid_status)
         h = h.at[off + 1 :: rps].set(grid["p_max_exp"] * grid_status)
         h = h.at[off + 2 :: rps].set(pv_vec)
         h = h.at[off + 3 :: rps].set(load_vec)
+        if self.has_genset:
+            # relaxed semi-continuity rows: -p <= 0
+            h = jnp.concatenate([h, jnp.zeros(H, dtype)])
 
         c = self.costs_static
         c = c.at[idx["imp"]::nb].set(
@@ -150,7 +185,21 @@ class ProblemTemplate:
         )
         return c, b, h
 
-    def extract_action(self, x):
+    def apply_genset_pattern(self, h, u):
+        """Pin the genset status pattern ``u`` (H,) into the rhs ``h``:
+        production caps become ``p_max*u``, minimum rows ``-p_min*u``."""
+        rps, H = self.rows_per_step, self.horizon
+        n_in = rps * H
+        u = u.astype(h.dtype)
+        h = h.at[0:n_in:rps].set(self.p_genset_max * u)
+        h = h.at[n_in:].set(-self.p_genset_min * u)
+        return h
+
+    def genset_production(self, x):
+        """Per-step genset production (H,) from a solution vector."""
+        return x[0 :: self.block]
+
+    def extract_action(self, x, genset_u=None):
         """First-block controls -> engine action arrays."""
         import jax.numpy as jnp
 
@@ -168,16 +217,28 @@ class ProblemTemplate:
             grid_diff = x[idx["imp"]] - x[idx["exp"]]
             action["grid"] = action["grid"].at[self.grid_refs[0].slot].set(grid_diff)
         if self.has_genset:
+            g = self.genset_refs[0].slot
+            if genset_u is None:
+                status = jnp.round(x[0] > 0).astype(dtype)
+            else:
+                status = genset_u[0].astype(dtype)
             action["genset"] = (
-                action["genset"].at[0, 0].set(jnp.round(x[0] > 0).astype(dtype))
-                .at[0, 1].set(x[0])
+                action["genset"].at[g, 0].set(status).at[g, 1].set(x[0])
             )
         return action
 
 
 class BatchedMPC:
+    """Receding-horizon MPC batched over replicas, planner on chip.
+
+    ``enum_bits`` bounds the per-step genset MILP enumeration: the ``2^k``
+    status patterns over the ``k`` most fractional relaxation steps are
+    solved as one extra batched LP solve per step.  ``enum_bits=0`` (or
+    ``relax_genset=True``) falls back to rounding the relaxation.
+    """
+
     def __init__(self, microgrid, batch_size=1, iters=30, dtype=np.float64,
-                 relax_genset=False):
+                 relax_genset=False, enum_bits=5):
         self.batch_size = batch_size
         self.template = ProblemTemplate(
             microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset
@@ -188,6 +249,7 @@ class BatchedMPC:
         self.horizon = self.template.horizon
         self._solver = self.template.solver
         self._dtype = self.template.dtype
+        self.enum_bits = 0 if relax_genset else enum_bits
 
         self._step_fn = self._build_step()
 
@@ -203,6 +265,12 @@ class BatchedMPC:
         H = self.horizon
         dtype = self._dtype
         engine_step = make_step_fn(tpl.spec, normalized=False)
+        k_bits = min(self.enum_bits, H) if tpl.has_genset else 0
+        n_combos = 2 ** k_bits
+        combo_table = np.array(
+            [[(e >> k) & 1 for k in range(k_bits)] for e in range(n_combos)],
+            dtype=np.float64,
+        )
 
         def build_problem(params, state):
             t = state["step"]
@@ -221,10 +289,50 @@ class BatchedMPC:
                 params, load_vec, pv_vec, grid, grid_status, tpl.soc_0(params, state)
             )
 
+        def candidate_patterns(p_relax):
+            """(n_combos, H) status patterns around the rounded relaxation."""
+            p_min = tpl.p_genset_min
+            tol = 1e-7 * max(p_min, 1.0)
+            on_base = (p_relax > tol).astype(dtype)
+            fractional = (p_relax > tol) & (p_relax < p_min - tol)
+            # fractionality score: distance to the nearer endpoint of (0, p_min)
+            score = jnp.where(
+                fractional, jnp.minimum(p_relax, p_min - p_relax), -1.0
+            )
+            _, chosen = lax.top_k(score, k_bits)
+            combos = jnp.asarray(combo_table, dtype)  # (n_combos, k_bits)
+            u_all = jnp.broadcast_to(on_base, (n_combos, H))
+            return u_all.at[:, chosen].set(combos)
+
+        def solve_with_genset(c, b, h):
+            """Relax + enumerate + pick; batched over replicas (axis 0)."""
+            B = c.shape[0]
+            x_rel, _ = self._solver(c, b, h)
+            p_rel = jax.vmap(tpl.genset_production)(x_rel)  # (B, H)
+            u_all = jax.vmap(candidate_patterns)(p_rel)     # (B, E, H)
+            h_all = jax.vmap(
+                lambda hh, uu: jax.vmap(lambda u: tpl.apply_genset_pattern(hh, u))(uu)
+            )(h, u_all)                                     # (B, E, n_h)
+
+            E = n_combos
+            flat = lambda a: a.reshape((B * E,) + a.shape[2:])
+            rep = lambda a: jnp.repeat(a, E, axis=0)
+            x_flat, info = self._solver(rep(c), rep(b), flat(h_all))
+            obj = info["objective"].reshape(B, E)
+            best = jnp.argmin(obj, axis=1)                  # (B,)
+            x_best = x_flat.reshape(B, E, -1)[jnp.arange(B), best]
+            u_best = u_all[jnp.arange(B), best]
+            return x_best, u_best
+
         def batched_step(params, states):
             c, b, h = jax.vmap(lambda s: build_problem(params, s))(states)
-            x, info = self._solver(c, b, h)
-            actions = jax.vmap(tpl.extract_action)(x)
+            if tpl.has_genset and k_bits > 0:
+                x, u = solve_with_genset(c, b, h)
+                actions = jax.vmap(tpl.extract_action)(x, u)
+                info = {}
+            else:
+                x, info = self._solver(c, b, h)
+                actions = jax.vmap(tpl.extract_action)(x)
             new_states, outs = jax.vmap(
                 lambda s, a: engine_step(params, s, a)
             )(states, actions)

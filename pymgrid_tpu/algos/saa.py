@@ -40,7 +40,8 @@ class SampleAverageApproximation(SampleGenerator):
 
     def run(self, n_samples=10, forecast_steps=None, optimal_percentile=0.5,
             use_previous_samples=True, verbose=False, **kwargs):
-        if self.samples is None or not use_previous_samples:
+        need_fresh_samples = not use_previous_samples or self.samples is None
+        if need_fresh_samples:
             self.samples = self.sample_from_forecasts(n_samples=n_samples, **kwargs)
 
         started = time.time()

@@ -153,10 +153,8 @@ class Environment:
 
         self.mg.run(self.get_action(action))
 
-        self.state = self.transition()
-        self.reward = self.get_reward()
-        self.done = self.mg.done
-        self.info = {}
+        self.state, self.reward = self.transition(), self.get_reward()
+        self.done, self.info = self.mg.done, {}
         self.round += 1
 
         return self.state, self.reward, self.done, self.info
@@ -176,7 +174,8 @@ class Environment:
                 sampling_args=self.sampling_args,
             )
 
-        self.state, self.reward, self.done, self.info = self.transition(), 0, False, {}
+        self.state = self.transition()
+        self.reward, self.done, self.info = 0, False, {}
         return self.state
 
     # ------------------------------------------------- action mappers (shared)
