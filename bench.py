@@ -12,9 +12,16 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "env_steps/s/chip", "vs_baseline": N}
 vs_baseline is relative to the 1M env-steps/s/chip target (BASELINE.md).
 
+Besides the headline suite number, the same line carries the two RL-facing
+paths a user would actually train on: ``rl_env_steps_per_sec`` times
+``BatchedDiscreteEnv.step`` (integer actions in, observations back to the
+learner, python-loop dispatch included) and ``collect_steps_per_sec`` times a
+log-materializing rollout (full StepOutput incl. log rows written to HBM).
+
 Env knobs: PYMGRID_BENCH_REPLICAS (default 20480 per config -> 512k envs),
 PYMGRID_BENCH_STEPS (default 1000), PYMGRID_BENCH_REPEATS (3),
-PYMGRID_BENCH_CONFIGS (default 25).
+PYMGRID_BENCH_CONFIGS (default 25), PYMGRID_BENCH_SKIP_EXTRAS=1 to print the
+suite number alone.
 """
 import json
 import os
@@ -41,6 +48,54 @@ def build_suite_rollout(n_configs, replicas, n_steps, dtype=np.float32):
     fn = runner.rollout_fn(policy, n_steps, auto_reset=True, collect=False)
     keys = runner.make_keys(seed=0)
     return fn, runner.params, keys
+
+
+def bench_rl_env_step(batch_size=65536, n_steps=100, dtype=np.float32, seed=0):
+    """User-facing RL path: BatchedDiscreteEnv.step with obs returned."""
+    import jax
+    from pymgrid_tpu import Microgrid
+    from pymgrid_tpu.envs import DiscreteMicrogridEnv
+    from pymgrid_tpu.parallel.batched_env import BatchedDiscreteEnv
+
+    env = DiscreteMicrogridEnv.from_scenario(0)
+    batched = BatchedDiscreteEnv(env, batch_size=batch_size, dtype=dtype)
+    rng = np.random.RandomState(seed)
+    action_seq = rng.randint(batched.n_actions, size=(n_steps, batch_size))
+
+    states = batched.reset(seed=seed)
+    states, out = batched.step(states, action_seq[0])  # compile
+    np.asarray(out.obs)
+
+    t0 = time.perf_counter()
+    for k in range(n_steps):
+        states, out = batched.step(states, action_seq[k])
+    np.asarray(out.obs)  # force execution + fetch of the last obs
+    wall = time.perf_counter() - t0
+    return batch_size * n_steps / wall
+
+
+def bench_collect_rollout(replicas=2048, n_steps=1000, n_configs=25,
+                          dtype=np.float32):
+    """Log-materializing rollout: full StepOutput (obs/reward/done/log rows)
+    written to HBM every step, as a data-collection run would."""
+    from pymgrid_tpu import Microgrid
+    from pymgrid_tpu.core.rollout import make_marginal_cost_policy
+    from pymgrid_tpu.parallel.suite import SuiteRunner
+
+    microgrids = [Microgrid.from_scenario(n) for n in range(n_configs)]
+    runner = SuiteRunner(microgrids, batch_per_config=replicas, dtype=dtype)
+    policy = make_marginal_cost_policy(runner.spec)
+    fn = runner.rollout_fn(policy, n_steps, auto_reset=True, collect=True)
+    keys = runner.make_keys(seed=0)
+
+    _, outs = fn(runner.params, keys)
+    np.asarray(outs.reward)  # compile + execute
+
+    t0 = time.perf_counter()
+    _, outs = fn(runner.params, keys)
+    np.asarray(outs.reward)
+    wall = time.perf_counter() - t0
+    return n_configs * replicas * n_steps / wall
 
 
 def main():
@@ -82,6 +137,11 @@ def main():
         "n_chips_visible": n_chips,
         "wall_s": round(best, 4),
     }
+
+    if not int(os.environ.get("PYMGRID_BENCH_SKIP_EXTRAS", 0)):
+        result["rl_env_steps_per_sec"] = round(bench_rl_env_step(), 1)
+        result["collect_steps_per_sec"] = round(bench_collect_rollout(), 1)
+
     print(json.dumps(result))
 
 

@@ -93,7 +93,10 @@ class ProblemTemplate:
                 min_rows[j, j * nb] = -1.0
             K_in = np.concatenate([K_in, np.asarray(min_rows.todense())], axis=0)
         self.n_in_rows = K_in.shape[0]
-        self.solver = make_batched_ipm_solver(K_eq, K_in, iters=iters, dtype=dtype)
+        self.solver = make_batched_ipm_solver(
+            K_eq, K_in, iters=iters, dtype=dtype,
+            x_scale=self._variable_scales(microgrid),
+        )
 
         self.load_ref = next(m for m in self.spec.fixed if m.kind == "load")
         self.pv_ref = next(m for m in self.spec.flex if m.kind == "renewable")
@@ -102,6 +105,33 @@ class ProblemTemplate:
         self.battery_ref = next(
             m for m in self.spec.controllable if m.kind == "battery"
         )
+
+    def _variable_scales(self, microgrid):
+        """Typical magnitude of each LP variable (per-step block tiled over
+        the horizon), for the IPM's static column equilibration: power flows
+        scale with their caps, SOC with 1."""
+        names = self.host_mpc.microgrid_module_names
+        battery = microgrid.modules[names["battery"]].item()
+        pv_peak = float(np.abs(
+            microgrid.modules[names["renewable"]].item().time_series
+        ).max())
+        load_peak = float(np.abs(
+            microgrid.modules[names["load"]].item().time_series
+        ).max())
+        if "grid" in names:
+            grid = microgrid.modules[names["grid"]].item()
+            import_cap, export_cap = grid.max_import, grid.max_export
+        else:
+            import_cap = export_cap = 0.0
+
+        block = [self.p_genset_max] if self.has_genset else []
+        block += [
+            import_cap, export_cap,
+            battery.max_charge, battery.max_discharge,
+            pv_peak, load_peak, 1.0,
+        ]
+        return np.tile(np.maximum(np.asarray(block, dtype=np.float64), 1.0),
+                       self.horizon)
 
     # ------------------------------------------------------------- assembly
     def grid_windows(self, params, t):
@@ -199,6 +229,69 @@ class ProblemTemplate:
         """Per-step genset production (H,) from a solution vector."""
         return x[0 :: self.block]
 
+    def make_genset_refiner(self, enum_bits=5):
+        """Build ``refine(c, b, h) -> (x, u, objective)`` (batched on axis 0):
+        solve the LP relaxation, enumerate the ``2^k`` status patterns over
+        the ``k`` most fractional steps as one extra batched solve, and
+        return each problem's cheapest integral solution."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        H, dtype = self.horizon, self.dtype
+        k_bits = min(enum_bits, H)
+        n_combos = 2 ** k_bits
+        combo_table = np.array(
+            [[(e >> k) & 1 for k in range(k_bits)] for e in range(n_combos)],
+            dtype=np.float64,
+        )
+        p_min = self.p_genset_min
+        tol = 1e-7 * max(p_min, 1.0)
+
+        def candidate_patterns(p_relax):
+            """(n_combos, H) status patterns around the rounded relaxation.
+
+            The base pattern rounds each step to the *nearer* branch of the
+            semi-continuity gap (off below p_min/2, on above) — interior-point
+            noise (p ~ 1e-3) must round to off, not on.  The k most ambiguous
+            steps (largest distance-to-endpoint score) get enumerated.
+            """
+            on_base = (p_relax > 0.5 * p_min).astype(dtype)
+            fractional = (p_relax > tol) & (p_relax < p_min - tol)
+            score = jnp.where(
+                fractional, jnp.minimum(p_relax, p_min - p_relax), -1.0
+            )
+            _, chosen = lax.top_k(score, k_bits)
+            combos = jnp.asarray(combo_table, dtype)
+            u_all = jnp.broadcast_to(on_base, (n_combos, H))
+            return u_all.at[:, chosen].set(combos)
+
+        def refine(c, b, h):
+            B = c.shape[0]
+            x_rel, _ = self.solver(c, b, h)
+            p_rel = jax.vmap(self.genset_production)(x_rel)   # (B, H)
+            u_all = jax.vmap(candidate_patterns)(p_rel)       # (B, E, H)
+            h_all = jax.vmap(
+                lambda hh, uu: jax.vmap(
+                    lambda u: self.apply_genset_pattern(hh, u)
+                )(uu)
+            )(h, u_all)                                       # (B, E, n_h)
+
+            E = n_combos
+            flat = lambda a: a.reshape((B * E,) + a.shape[2:])
+            rep = lambda a: jnp.repeat(a, E, axis=0)
+            x_flat, info = self.solver(rep(c), rep(b), flat(h_all))
+            obj = info["objective"].reshape(B, E)
+            best = jnp.argmin(obj, axis=1)
+            rows = jnp.arange(B)
+            return (
+                x_flat.reshape(B, E, -1)[rows, best],
+                u_all[rows, best],
+                obj[rows, best],
+            )
+
+        return refine
+
     def extract_action(self, x, genset_u=None):
         """First-block controls -> engine action arrays."""
         import jax.numpy as jnp
@@ -265,11 +358,11 @@ class BatchedMPC:
         H = self.horizon
         dtype = self._dtype
         engine_step = make_step_fn(tpl.spec, normalized=False)
-        k_bits = min(self.enum_bits, H) if tpl.has_genset else 0
-        n_combos = 2 ** k_bits
-        combo_table = np.array(
-            [[(e >> k) & 1 for k in range(k_bits)] for e in range(n_combos)],
-            dtype=np.float64,
+        use_enumeration = tpl.has_genset and self.enum_bits > 0
+        refine = (
+            tpl.make_genset_refiner(enum_bits=self.enum_bits)
+            if use_enumeration
+            else None
         )
 
         def build_problem(params, state):
@@ -289,47 +382,12 @@ class BatchedMPC:
                 params, load_vec, pv_vec, grid, grid_status, tpl.soc_0(params, state)
             )
 
-        def candidate_patterns(p_relax):
-            """(n_combos, H) status patterns around the rounded relaxation."""
-            p_min = tpl.p_genset_min
-            tol = 1e-7 * max(p_min, 1.0)
-            on_base = (p_relax > tol).astype(dtype)
-            fractional = (p_relax > tol) & (p_relax < p_min - tol)
-            # fractionality score: distance to the nearer endpoint of (0, p_min)
-            score = jnp.where(
-                fractional, jnp.minimum(p_relax, p_min - p_relax), -1.0
-            )
-            _, chosen = lax.top_k(score, k_bits)
-            combos = jnp.asarray(combo_table, dtype)  # (n_combos, k_bits)
-            u_all = jnp.broadcast_to(on_base, (n_combos, H))
-            return u_all.at[:, chosen].set(combos)
-
-        def solve_with_genset(c, b, h):
-            """Relax + enumerate + pick; batched over replicas (axis 0)."""
-            B = c.shape[0]
-            x_rel, _ = self._solver(c, b, h)
-            p_rel = jax.vmap(tpl.genset_production)(x_rel)  # (B, H)
-            u_all = jax.vmap(candidate_patterns)(p_rel)     # (B, E, H)
-            h_all = jax.vmap(
-                lambda hh, uu: jax.vmap(lambda u: tpl.apply_genset_pattern(hh, u))(uu)
-            )(h, u_all)                                     # (B, E, n_h)
-
-            E = n_combos
-            flat = lambda a: a.reshape((B * E,) + a.shape[2:])
-            rep = lambda a: jnp.repeat(a, E, axis=0)
-            x_flat, info = self._solver(rep(c), rep(b), flat(h_all))
-            obj = info["objective"].reshape(B, E)
-            best = jnp.argmin(obj, axis=1)                  # (B,)
-            x_best = x_flat.reshape(B, E, -1)[jnp.arange(B), best]
-            u_best = u_all[jnp.arange(B), best]
-            return x_best, u_best
-
         def batched_step(params, states):
             c, b, h = jax.vmap(lambda s: build_problem(params, s))(states)
-            if tpl.has_genset and k_bits > 0:
-                x, u = solve_with_genset(c, b, h)
+            if use_enumeration:
+                x, u, obj = refine(c, b, h)
                 actions = jax.vmap(tpl.extract_action)(x, u)
-                info = {}
+                info = {"objective": obj}
             else:
                 x, info = self._solver(c, b, h)
                 actions = jax.vmap(tpl.extract_action)(x)

@@ -40,7 +40,9 @@ class BatchedSAA:
     Parameters
     ----------
     microgrid : Microgrid
-        Modular microgrid (grid-connected, no genset unless ``relax_genset``).
+        Modular microgrid.  Genset configs solve each sample's horizon MILP
+        via LP relaxation + batched status-pattern enumeration
+        (``enum_bits``; see :meth:`ProblemTemplate.make_genset_refiner`).
     n_samples : int, default 10
         Sampled futures per step (the LP batch dimension).
     optimal_percentile : float, default 0.5
@@ -54,7 +56,7 @@ class BatchedSAA:
     def __init__(self, microgrid, n_samples=10, optimal_percentile=0.5,
                  iters=30, dtype=np.float64, relax_genset=False,
                  forecast_args=None, sampling_args=None, samples=None,
-                 preset_to_use=None):
+                 preset_to_use=None, enum_bits=5):
         import jax
         import jax.numpy as jnp
 
@@ -65,6 +67,7 @@ class BatchedSAA:
 
         self.n_samples = n_samples
         self.optimal_percentile = optimal_percentile
+        self.enum_bits = 0 if relax_genset else enum_bits
         self.template = ProblemTemplate(
             microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset
         )
@@ -143,14 +146,28 @@ class BatchedSAA:
                 params, load_vec, pv_vec, grid, status, tpl.soc_0(params, state)
             )
 
+        use_enumeration = tpl.has_genset and self.enum_bits > 0
+        refine = (
+            tpl.make_genset_refiner(enum_bits=self.enum_bits)
+            if use_enumeration
+            else None
+        )
+
         def step(params, state, pv_s, load_s, grid_s):
             c, b, h = jax.vmap(
                 lambda p, l, g: sample_problem(params, state, p, l, g)
             )(pv_s, load_s, grid_s)
-            x, info = tpl.solver(c, b, h)               # (N, n_var)
-            costs = jnp.sum(c * x, axis=1)              # horizon objectives
-            chosen = jnp.argsort(costs)[k]
-            action = tpl.extract_action(x[chosen])
+            if use_enumeration:
+                # every sample's horizon MILP: relaxation + pattern
+                # enumeration, all N*2^k problems in two batched solves
+                x, u, costs = refine(c, b, h)
+                chosen = jnp.argsort(costs)[k]
+                action = tpl.extract_action(x[chosen], u[chosen])
+            else:
+                x, info = tpl.solver(c, b, h)           # (N, n_var)
+                costs = jnp.sum(c * x, axis=1)          # horizon objectives
+                chosen = jnp.argsort(costs)[k]
+                action = tpl.extract_action(x[chosen])
             new_state, out = engine_step(params, state, action)
             return new_state, out, costs, chosen
 

@@ -38,7 +38,7 @@ def ruiz_scale(K, iters=10):
     return M, d_r, d_c
 
 
-def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64):
+def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64, x_scale=None):
     """Batched Mehrotra predictor-corrector interior-point LP solver.
 
     Same problem family as :func:`make_batched_lp_solver` (shared constraint
@@ -66,10 +66,23 @@ def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64):
     m = me + mi
     n = n0 + mi  # with slacks
 
+    # Variable scaling: problems mixing O(1e4) power flows with O(1) SOC
+    # variables wreck the normal-equation conditioning.  ``x_scale`` (n0,)
+    # gives each structural variable's magnitude; slacks inherit their row's
+    # implied magnitude ``|K_in| @ x_scale``.
+    if x_scale is None:
+        col_scale = np.ones(n)
+    else:
+        x_scale = np.maximum(np.asarray(x_scale, dtype=np.float64), 1e-8)
+        assert x_scale.shape == (n0,)
+        s_scale = np.maximum(np.abs(K_in) @ x_scale, 1e-8)
+        col_scale = np.concatenate([x_scale, s_scale])
+
     A_np = np.zeros((m, n))
     A_np[:me, :n0] = K_eq
     A_np[me:, :n0] = K_in
     A_np[me:, n0:] = np.eye(mi)
+    A_np = A_np * col_scale[None, :]
 
     # equilibrate rows for numerical stability
     row_scale = 1.0 / np.maximum(np.abs(A_np).max(axis=1), 1e-8)
@@ -78,11 +91,17 @@ def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64):
     A = jnp.asarray(A_np, dtype)
     AT = jnp.asarray(A_np.T, dtype)
     row_scale_j = jnp.asarray(row_scale, dtype)
+    col_scale_j = jnp.asarray(col_scale, dtype)
 
     def solve(c, b, h):
         B = c.shape[0]
-        cc = jnp.concatenate([c, jnp.zeros((B, mi), dtype)], axis=1)
+        cc = jnp.concatenate([c, jnp.zeros((B, mi), dtype)], axis=1) * col_scale_j[None, :]
         bb = jnp.concatenate([b, h], axis=1) * row_scale_j[None, :]
+
+        # normalize the objective per problem (scalar; argmin-invariant) so
+        # the starting point sits at the scale of the solution, not the costs
+        c_mag = jnp.maximum(jnp.abs(cc).max(axis=1, keepdims=True), 1.0)
+        cc = cc / c_mag
 
         # standard starting point (strictly positive, scaled to the data)
         scale = 1.0 + jnp.maximum(
@@ -181,7 +200,7 @@ def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64):
         x, y, z, _ = best
 
         r = jnp.abs(x @ AT - bb).max(axis=1)
-        x_out = x[:, :n0]
+        x_out = x[:, :n0] * col_scale_j[None, :n0]
         obj = (c * x_out).sum(axis=1)
         gap = (x * z).sum(axis=1) / n
         return x_out, {"residual": r, "objective": obj, "gap": gap}

@@ -15,6 +15,7 @@ __all__ = [
     "rollout_policy",
     "rollout_actions",
     "make_priority_policy",
+    "make_table_policy",
     "make_marginal_cost_policy",
     "make_random_policy",
 ]
@@ -202,6 +203,159 @@ def make_priority_policy(spec, priority_list):
                     near_zero, 0.0, jnp.where(remaining > 0, produce, consume)
                 )
                 action[ref.kind] = action[ref.kind].at[ref.slot].set(energy)
+
+            remaining = remaining - energy
+
+        return action
+
+    return policy
+
+
+def make_table_policy(spec, priority_lists):
+    """Compile ALL priority lists into one table-driven policy
+    ``(params, state, action_idx) -> action``.
+
+    Where :func:`make_priority_policy` unrolls one list at trace time (and a
+    discrete env would need ``lax.switch`` over all ``n!·2^g`` of them — a
+    compile-time explosion, reference warns >1000 actions at
+    ``envs/discrete/discrete.py:74``), this encodes every list as integer
+    tables ``(kind, slot, goal)[action, position]`` and evaluates a single
+    program: per deployment position, compute the three kind-specific energy
+    candidates and select by the table entry.  Compile cost is
+    O(n_controllable), independent of the number of actions.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    dtype = jnp.dtype(spec.dtype)
+    by_module = {(ref.name, ref.num): ref for ref in spec.controllable}
+    KINDS = {"battery": 0, "genset": 1, "grid": 2}
+
+    n_actions = len(priority_lists)
+    n_positions = len(priority_lists[0])
+    kind_t = np.zeros((n_actions, n_positions), np.int32)
+    slot_t = np.zeros((n_actions, n_positions), np.int32)
+    goal_t = np.zeros((n_actions, n_positions), np.int32)
+    for a, pl in enumerate(priority_lists):
+        if len(pl) != n_positions:
+            raise ValueError("All priority lists must have equal length.")
+        for k, el in enumerate(pl):
+            ref = by_module[el.module]
+            kind_t[a, k] = KINDS[ref.kind]
+            slot_t[a, k] = ref.slot
+            goal_t[a, k] = el.action
+
+    kind_table = np.asarray(kind_t)
+    slot_table = np.asarray(slot_t)
+    goal_table = np.asarray(goal_t)
+
+    def policy(params, state, action_idx):
+        t = state["step"]
+        total_load = jnp.asarray(0.0, dtype)
+        for ref in spec.fixed:
+            row = _ts_current(params, "load", ref.slot, t, jnp, lax)
+            total_load = total_load + (-row[0])
+        renewable = jnp.asarray(0.0, dtype)
+        for ref in spec.flex:
+            if ref.kind == "renewable":
+                row = _ts_current(params, "renewable", ref.slot, t, jnp, lax)
+                renewable = renewable + row[0]
+        remaining = total_load - renewable
+
+        action = {
+            "battery": jnp.zeros(spec.n_battery, dtype),
+            "genset": jnp.zeros((spec.n_genset, 2), dtype),
+            "grid": jnp.zeros(spec.n_grid, dtype),
+        }
+
+        kinds = jnp.asarray(kind_table)[action_idx]   # (n_positions,)
+        slots = jnp.asarray(slot_table)[action_idx]
+        goals = jnp.asarray(goal_table)[action_idx]
+
+        def clamp_produce(remaining, min_p, max_p):
+            return jnp.where(
+                remaining < min_p, min_p,
+                jnp.where(remaining > max_p, max_p, remaining),
+            )
+
+        for k in range(n_positions):
+            kind, slot, goal = kinds[k], slots[k], goals[k]
+            near_zero = jnp.abs(remaining) <= 1e-4
+
+            # battery candidate (slot index clamps safely; masked out below)
+            if spec.n_battery:
+                pb = params["battery"]
+                charge = state["battery_charge"][slot]
+                eff = pb["efficiency"][slot]
+                b_max_p = jnp.minimum(
+                    pb["max_discharge"][slot], charge - pb["min_capacity"][slot]
+                ) * eff
+                b_max_c = jnp.minimum(
+                    pb["max_charge"][slot], pb["max_capacity"][slot] - charge
+                ) / eff
+                b_prod = clamp_produce(remaining, jnp.asarray(0.0, dtype), b_max_p)
+                b_cons = jnp.where(-remaining > b_max_c, -b_max_c, remaining)
+                e_battery = jnp.where(
+                    near_zero, 0.0, jnp.where(remaining > 0, b_prod, b_cons)
+                )
+            else:
+                e_battery = jnp.asarray(0.0, dtype)
+
+            # genset candidate
+            if spec.n_genset:
+                pg = params["genset"]
+                gs = state["genset"]
+                cur = gs["current_status"][slot]
+                up_ready = gs["steps_until_up"][slot] == 0
+                down_ready = gs["steps_until_down"][slot] == 0
+                next_on = jnp.where(cur == 1, 1, jnp.where(up_ready, 1, 0))
+                next_off = jnp.where(cur == 0, 0, jnp.where(down_ready, 0, 1))
+                nsf = jnp.where(goal == 1, next_on, next_off).astype(dtype)
+                g_min_p = nsf * pg["running_min_production"][slot]
+                g_max_p = nsf * pg["running_max_production"][slot]
+                g_prod = clamp_produce(remaining, g_min_p, g_max_p)
+                e_genset = jnp.where(
+                    near_zero, 0.0, jnp.where(remaining > 0, g_prod, 0.0)
+                )
+            else:
+                e_genset = jnp.asarray(0.0, dtype)
+
+            # grid candidate
+            if spec.n_grid:
+                pgr = params["grid"]
+                row = lax.dynamic_index_in_dim(
+                    params["grid"]["ts"], t, axis=1, keepdims=False
+                )[slot]
+                status = row[3]
+                gr_max_p = pgr["max_import"][slot] * status
+                gr_max_c = pgr["max_export"][slot] * status
+                gr_prod = clamp_produce(remaining, jnp.asarray(0.0, dtype), gr_max_p)
+                gr_cons = jnp.where(-remaining > gr_max_c, -gr_max_c, remaining)
+                e_grid = jnp.where(
+                    near_zero, 0.0, jnp.where(remaining > 0, gr_prod, gr_cons)
+                )
+            else:
+                e_grid = jnp.asarray(0.0, dtype)
+
+            energy = jnp.where(
+                kind == 0, e_battery, jnp.where(kind == 1, e_genset, e_grid)
+            )
+
+            if spec.n_battery:
+                action["battery"] = action["battery"].at[slot].add(
+                    jnp.where(kind == 0, energy, 0.0)
+                )
+            if spec.n_genset:
+                is_genset = kind == 1
+                action["genset"] = (
+                    action["genset"]
+                    .at[slot, 0].add(jnp.where(is_genset, goal.astype(dtype), 0.0))
+                    .at[slot, 1].add(jnp.where(is_genset, energy, 0.0))
+                )
+            if spec.n_grid:
+                action["grid"] = action["grid"].at[slot].add(
+                    jnp.where(kind == 2, energy, 0.0)
+                )
 
             remaining = remaining - energy
 

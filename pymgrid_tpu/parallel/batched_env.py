@@ -2,14 +2,17 @@
 
 ``BatchedDiscreteEnv`` exposes the discrete priority-list env as a batched
 ``reset/step`` pair: B replicas step in lockstep on device, integer actions
-select among the per-list policies via ``lax.switch``, and episodes
-auto-reset.  This is the batched analog of
-:class:`~pymgrid_tpu.envs.DiscreteMicrogridEnv` for RL training loops.
+index a precomputed priority-ordering table
+(:func:`~pymgrid_tpu.core.rollout.make_table_policy`, the SURVEY §7 masked
+deployment scan) so compile time stays O(n_controllable) no matter how large
+the ``n!·2^g`` action space grows, and episodes auto-reset.  This is the
+batched analog of :class:`~pymgrid_tpu.envs.DiscreteMicrogridEnv` for RL
+training loops.
 """
 import numpy as np
 
 from pymgrid_tpu.core.engine import make_reset_fn, make_step_fn
-from pymgrid_tpu.core.rollout import make_priority_policy
+from pymgrid_tpu.core.rollout import make_table_policy
 
 __all__ = ["BatchedDiscreteEnv"]
 
@@ -19,7 +22,6 @@ class BatchedDiscreteEnv:
                  auto_reset=True):
         import jax
         import jax.numpy as jnp
-        from jax import lax
         from pymgrid_tpu.core.spec import extract_spec
 
         self.batch_size = batch_size
@@ -30,18 +32,16 @@ class BatchedDiscreteEnv:
         self.params = jax.tree.map(jnp.asarray, params)
         self.obs_dim = self.spec.obs_dim
 
-        policies = [
-            make_priority_policy(self.spec, list(pl)) for pl in env.actions_list
-        ]
+        table_policy = make_table_policy(
+            self.spec, [list(pl) for pl in env.actions_list]
+        )
         step_fn = make_step_fn(self.spec, normalized=False)
         reset_fn = make_reset_fn(self.spec)
 
         obs_perm = jnp.asarray(self.spec.env_obs_permutation())
 
         def single_step(params, state, action_idx):
-            action = lax.switch(
-                action_idx, [lambda p=p: p(params, state) for p in policies]
-            )
+            action = table_policy(params, state, action_idx)
             new_state, out = step_fn(params, state, action)
             if self.auto_reset:
                 fresh = reset_fn(params, new_state["rng"])
