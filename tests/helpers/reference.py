@@ -78,12 +78,11 @@ def _install_viz_stubs():
     try:
         import cvxpy  # noqa: F401
     except ImportError:
-        # Module-level import only; reference MPC/SAA are not exercised in
-        # parity tests (no LP solver in this image).
-        cp = _stub("cvxpy", ["Variable", "Parameter", "Problem", "Minimize"])
-        cp.installed_solvers = lambda: []
-        cp.error = _stub("cvxpy.error")
-        cp.error.SolverError = type("SolverError", (Exception,), {})
+        # A *working* miniature cvxpy backed by scipy/HiGHS (helpers/
+        # cvxpy_shim.py) — enough to run the reference MPC for real parity.
+        from helpers import cvxpy_shim
+
+        sys.modules["cvxpy"] = cvxpy_shim
 
 
 def _patch_numpy_compat():
