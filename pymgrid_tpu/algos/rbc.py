@@ -76,11 +76,14 @@ class RuleBasedControl(PriorityListAlgo):
 
         return self._microgrid.get_log(as_frame=True)
 
-    def run_compiled(self, max_steps=None, dtype="float64"):
+    def run_compiled(self, max_steps=None, dtype="float64", numpy_rng_noise=False):
         """Engine RBC rollout under ``lax.scan``; returns the log DataFrame.
 
         Bitwise-equal to :meth:`run` in float64 (tested); orders of magnitude
-        faster for long horizons, and vmap-able over replicas.
+        faster for long horizons, and vmap-able over replicas.  With
+        ``numpy_rng_noise`` the gaussian forecast stream replays the host's
+        global numpy RNG from its current state, making seeded
+        gaussian-forecast runs bitwise-equal too.
         """
         import numpy as np
 
@@ -94,7 +97,9 @@ class RuleBasedControl(PriorityListAlgo):
             max_steps, int(microgrid.final_step) - int(microgrid.initial_step)
         )
 
-        compiled = CompiledMicrogrid(microgrid, dtype=np.dtype(dtype))
+        compiled = CompiledMicrogrid(
+            microgrid, dtype=np.dtype(dtype), numpy_rng_noise=numpy_rng_noise
+        )
         policy = make_priority_policy(compiled.spec, self._priority_list)
         state = compiled.reset()
         _, outputs = rollout_policy(

@@ -16,10 +16,25 @@ __all__ = ["CompiledMicrogrid"]
 
 
 class CompiledMicrogrid:
-    def __init__(self, microgrid, dtype=np.float64, seed=0):
+    def __init__(self, microgrid, dtype=np.float64, seed=0, numpy_rng_noise=False):
+        """``numpy_rng_noise``: replay the host's global-numpy-RNG gaussian
+        forecast stream (snapshotted NOW) into an HBM bank so seeded
+        gaussian-forecast trajectories equal the host bitwise — construct at
+        the same RNG point the host run starts from (see
+        :mod:`pymgrid_tpu.core.noise_bank`)."""
+        import dataclasses
+
         import jax
 
         self.spec, self.params, self._state0 = extract_spec(microgrid, dtype=dtype)
+        if numpy_rng_noise:
+            from pymgrid_tpu.core.noise_bank import precompute_numpy_noise
+
+            banks = precompute_numpy_noise(microgrid, self.spec, dtype)
+            if banks:
+                self.spec = dataclasses.replace(self.spec, numpy_noise=True)
+                for kind, bank in banks.items():
+                    self.params[kind]["np_noise"] = bank
         self._reset_fn = jax.jit(make_reset_fn(self.spec))
         self._step_fns = {
             False: jax.jit(make_step_fn(self.spec, normalized=False)),

@@ -184,12 +184,23 @@ def _forecasts_at(spec, params, t, key):
         max_h = max(m.forecast_horizon for m in refs)
         f = _n_feat(kind)
         rows = []
-        for ref in refs:
+        for gslot, ref in enumerate(refs):
             h = ref.forecast_horizon
             window = _oracle_window(spec, params, ref, t)
-            key, sub = jax.random.split(key)
-            std = params[kind]["noise_std"][ref.slot][:h]
-            noise = jax.random.normal(sub, (h, f), dtype) * std
+            if spec.numpy_noise:
+                # precomputed numpy-RNG stream (bitwise host parity); rows
+                # beyond the data end are zeros (masked below anyway)
+                from jax import lax
+
+                noise = lax.dynamic_slice(
+                    params[kind]["np_noise"][gslot],
+                    (t, jnp.int32(0), jnp.int32(0)),
+                    (1, h, f),
+                )[0].astype(dtype)
+            else:
+                key, sub = jax.random.split(key)
+                std = params[kind]["noise_std"][ref.slot][:h]
+                noise = jax.random.normal(sub, (h, f), dtype) * std
             n_real = jnp.clip(ref.ts_length - 1 - t, 0, h)
             mask = (jnp.arange(h) < n_real)[:, None]
             window = window + noise * mask

@@ -74,6 +74,9 @@ class MicrogridSpec:
     horizon_pad: int                   # ts padding rows
     shaper: Optional[str] = None       # None | 'pv_curtailment' | 'battery_discharge'
     dtype: str = "float32"
+    # gaussian forecasts read a precomputed numpy-RNG noise bank from params
+    # (bitwise host parity) instead of drawing from the threaded jax PRNG
+    numpy_noise: bool = False
 
     @property
     def modules(self):

@@ -15,6 +15,8 @@ from pymgrid_tpu import Microgrid
 from pymgrid_tpu.core.compiled import CompiledMicrogrid
 
 from helpers.factories import module_params, build_microgrid
+from helpers.modular_microgrid import get_modular_microgrid
+from pymgrid_tpu.algos import RuleBasedControl
 
 
 def make_host(seed=0, include=("genset", "battery", "pv", "load", "grid"), **kwargs):
@@ -246,3 +248,26 @@ def test_engine_untraceable_callable_raises():
         state = compiled.initial_state(seed=0)
         action = compiled.action_to_arrays(mg.sample_action())
         compiled.step(state, action, normalized=False)
+
+
+def test_gaussian_forecast_numpy_rng_parity():
+    """Seeded gaussian-forecast trajectories: engine == host bitwise.
+
+    The engine replays the host's global-numpy-RNG noise stream from a
+    precomputed HBM bank (core/noise_bank.py), closing the last documented
+    parity hole (docs/parity.md: engine used jax.random).  Runs to the data
+    end so the truncated off-end draws are covered too.
+    """
+    mg = get_modular_microgrid()
+    mg.set_forecaster(0.1, forecast_horizon=5)
+
+    np.random.seed(1234)
+    host_log = RuleBasedControl(mg).run()
+
+    np.random.seed(1234)
+    eng_log = RuleBasedControl(mg).run_compiled(numpy_rng_noise=True)
+
+    assert list(host_log.columns) == list(eng_log.columns)
+    np.testing.assert_array_equal(
+        host_log.values.astype(float), eng_log.values.astype(float)
+    )
