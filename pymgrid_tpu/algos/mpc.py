@@ -527,6 +527,7 @@ class ModelPredictiveControl:
             except ImportError:
                 pass
 
+        previous_control = None
         for i in iterator:
             control = self._set_and_solve(
                 *self._get_modular_state_values(),
@@ -534,6 +535,18 @@ class ModelPredictiveControl:
                 total_iterations=num_iter,
                 verbose=verbose and verbose > 1,
             )
+            if control is None:
+                # solver failure: degrade gracefully by replaying the last
+                # successful plan (reference mpc.py:647-661)
+                if previous_control is None:
+                    raise RuntimeError(
+                        "MPC solve failed on the first step; no previous "
+                        "controls to fall back to."
+                    )
+                print("Using previous controls")
+                control = previous_control
+            else:
+                previous_control = control
             _, _, done, _ = self.microgrid.run(control, normalized=False)
             if done:
                 break

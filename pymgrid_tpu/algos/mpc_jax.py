@@ -288,9 +288,20 @@ class ProblemTemplate:
                 x_flat.reshape(B, E, -1)[rows, best],
                 u_all[rows, best],
                 obj[rows, best],
+                info["residual"].reshape(B, E)[rows, best],
             )
 
         return refine
+
+    def host_solve(self, c, b, h):
+        """HiGHS fallback for one problem (exact LP / genset MILP with the
+        same matrices); returns ``(x, u_or_None)`` or ``(None, None)``."""
+        host = self.host_mpc
+        n_in = self.rows_per_step * self.horizon
+        host._c = np.asarray(c, dtype=np.float64)
+        host._b_eq = np.asarray(b, dtype=np.float64)
+        host._b_ub = np.asarray(h, dtype=np.float64)[:n_in]
+        return host._solve()
 
     def extract_action(self, x, genset_u=None):
         """First-block controls -> engine action arrays."""
@@ -331,7 +342,12 @@ class BatchedMPC:
     """
 
     def __init__(self, microgrid, batch_size=1, iters=30, dtype=np.float64,
-                 relax_genset=False, enum_bits=5):
+                 relax_genset=False, enum_bits=5, host_fallback=True,
+                 residual_tol=None):
+        """``host_fallback``: when the on-chip IPM reports a primal residual
+        above ``residual_tol`` for a replica, re-solve that replica's problem
+        exactly with host HiGHS before acting (graceful degradation; the
+        analog of the reference's MOSEK->GLPK fallback, mpc.py:376-399)."""
         self.batch_size = batch_size
         self.template = ProblemTemplate(
             microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset
@@ -343,6 +359,13 @@ class BatchedMPC:
         self._solver = self.template.solver
         self._dtype = self.template.dtype
         self.enum_bits = 0 if relax_genset else enum_bits
+        self.host_fallback = host_fallback
+        self.residual_tol = (
+            residual_tol
+            if residual_tol is not None
+            else (1e-5 if self._dtype == np.float64 else 1e-2)
+        )
+        self.fallback_count = 0
 
         self._step_fn = self._build_step()
 
@@ -382,21 +405,56 @@ class BatchedMPC:
                 params, load_vec, pv_vec, grid, grid_status, tpl.soc_0(params, state)
             )
 
-        def batched_step(params, states):
+        def batched_plan(params, states):
             c, b, h = jax.vmap(lambda s: build_problem(params, s))(states)
             if use_enumeration:
-                x, u, obj = refine(c, b, h)
+                x, u, obj, res = refine(c, b, h)
                 actions = jax.vmap(tpl.extract_action)(x, u)
-                info = {"objective": obj}
+                info = {"objective": obj, "residual": res}
             else:
                 x, info = self._solver(c, b, h)
                 actions = jax.vmap(tpl.extract_action)(x)
-            new_states, outs = jax.vmap(
-                lambda s, a: engine_step(params, s, a)
-            )(states, actions)
+            return actions, info, (c, b, h)
+
+        def batched_act(params, states, actions):
+            return jax.vmap(lambda s, a: engine_step(params, s, a))(states, actions)
+
+        self._plan_inner = batched_plan
+        self._act_inner = batched_act
+        self._plan_fn = jax.jit(batched_plan)
+        self._act_fn = jax.jit(batched_act)
+
+        def batched_step(params, states):
+            actions, info, cbh = self._plan_fn(params, states)
+            if self.host_fallback:
+                actions = self._repair_with_host(actions, info, cbh)
+            new_states, outs = self._act_fn(params, states, actions)
             return new_states, outs, info
 
-        return jax.jit(batched_step)
+        return batched_step
+
+    def _repair_with_host(self, actions, info, cbh):
+        """Re-solve non-converged replicas exactly on the host (HiGHS)."""
+        import jax.numpy as jnp
+
+        residual = np.asarray(info["residual"])
+        bad = np.flatnonzero(residual > self.residual_tol)
+        if bad.size == 0:
+            return actions
+
+        tpl = self.template
+        c, b, h = (np.asarray(a) for a in cbh)
+        for i in bad:
+            x, u = tpl.host_solve(c[i], b[i], h[i])
+            if x is None:
+                continue  # keep the on-chip iterate
+            self.fallback_count += 1
+            genset_u = jnp.asarray(u, self._dtype) if u is not None else None
+            repaired = tpl.extract_action(jnp.asarray(x, self._dtype), genset_u)
+            actions = {
+                k: v.at[i].set(repaired[k]) for k, v in actions.items()
+            }
+        return actions
 
     # -------------------------------------------------------------------- api
     def reset(self, seed=0):
@@ -426,3 +484,26 @@ class BatchedMPC:
             if collect_rewards:
                 rewards.append(np.asarray(outs.reward))
         return (np.stack(rewards) if collect_rewards else None), states
+
+    def run_scanned(self, n_steps, seed=0):
+        """Whole receding-horizon rollout as ONE ``lax.scan`` program: plan
+        (batched LP/MILP solve) + act fused per step, no per-step host
+        dispatch — the fast path for full-year tables.  Host fallback is
+        unavailable inside the scan (use :meth:`run` for that)."""
+        import jax
+        import numpy as np
+        from jax import lax
+
+        states = self.reset(seed)
+
+        @jax.jit
+        def rollout(params, states):
+            def body(states, _):
+                actions, _, _ = self._plan_inner(params, states)
+                new_states, outs = self._act_inner(params, states, actions)
+                return new_states, outs.reward
+
+            return lax.scan(body, states, None, length=n_steps)
+
+        final_states, rewards = rollout(self.params, states)
+        return np.asarray(rewards), final_states

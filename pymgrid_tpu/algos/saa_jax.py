@@ -153,6 +153,8 @@ class BatchedSAA:
             else None
         )
 
+        self._engine_step = engine_step
+
         def step(params, state, pv_s, load_s, grid_s):
             c, b, h = jax.vmap(
                 lambda p, l, g: sample_problem(params, state, p, l, g)
@@ -160,7 +162,7 @@ class BatchedSAA:
             if use_enumeration:
                 # every sample's horizon MILP: relaxation + pattern
                 # enumeration, all N*2^k problems in two batched solves
-                x, u, costs = refine(c, b, h)
+                x, u, costs, _ = refine(c, b, h)
                 chosen = jnp.argsort(costs)[k]
                 action = tpl.extract_action(x[chosen], u[chosen])
             else:
@@ -171,6 +173,7 @@ class BatchedSAA:
             new_state, out = engine_step(params, state, action)
             return new_state, out, costs, chosen
 
+        self._step_inner = step
         return jax.jit(step)
 
     # -------------------------------------------------------------------- api
@@ -206,3 +209,29 @@ class BatchedSAA:
                 print(f"SAA step {t}/{n_steps} reward {float(out.reward):.2f} "
                       f"(chose sample {int(chosen)})")
         return np.asarray(rewards, dtype=np.float64), state
+
+    def run_scanned(self, n_steps=None, seed=0):
+        """Whole stochastic-MPC year as ONE ``lax.scan`` program (sample
+        solves + percentile pick + engine step fused per scan iteration)."""
+        import jax
+        from jax import lax
+
+        max_steps = self.sample_length - self.horizon
+        n_steps = max_steps if n_steps is None else min(n_steps, max_steps)
+
+        state = self.reset(seed)
+
+        @jax.jit
+        def rollout(params, state, pv_s, load_s, grid_s):
+            def body(state, _):
+                new_state, out, _, _ = self._step_inner(
+                    params, state, pv_s, load_s, grid_s
+                )
+                return new_state, out.reward
+
+            return lax.scan(body, state, None, length=n_steps)
+
+        final_state, rewards = rollout(
+            self.params, state, self.sample_pv, self.sample_load, self.sample_grid
+        )
+        return np.asarray(rewards, dtype=np.float64), final_state

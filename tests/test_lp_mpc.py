@@ -184,3 +184,44 @@ def test_batched_saa_genset():
         state, out, costs, chosen = saa.step(state)
         assert costs.shape == (3,)
         assert np.isfinite(float(out.reward))
+
+
+def test_batched_mpc_host_fallback_on_bad_iterates():
+    """Starve the IPM (2 iterations) so residuals blow past tolerance: every
+    replica must fall back to an exact host HiGHS solve, and the trajectory
+    must match a fully-converged run."""
+    from pymgrid_tpu.algos.mpc_jax import BatchedMPC
+
+    good = BatchedMPC(pymgrid_tpu.Microgrid.from_scenario(0), batch_size=1,
+                      dtype=np.float64)
+    starved = BatchedMPC(pymgrid_tpu.Microgrid.from_scenario(0), batch_size=1,
+                         dtype=np.float64, iters=2, residual_tol=1e-5)
+
+    r_good, _ = good.run(5)
+    r_starved, _ = starved.run(5)
+    assert starved.fallback_count >= 5  # every step repaired on host
+    # HiGHS picks simplex vertices, the IPM analytic centers: on degenerate
+    # optimal faces the realized per-step rewards differ slightly while both
+    # plans are optimal — compare trajectories loosely and totals tightly
+    np.testing.assert_allclose(r_starved[:, 0], r_good[:, 0], rtol=1e-3)
+    assert abs(r_starved.sum() - r_good.sum()) / abs(r_good.sum()) < 1e-4
+
+
+def test_mpc_use_previous_controls_on_solver_failure():
+    """Modular host MPC degrades to the previous plan when a solve fails
+    (reference mpc.py:647-661)."""
+    mg = pymgrid_tpu.Microgrid.from_scenario(0)
+    mpc = ModelPredictiveControl(mg)
+
+    original_solve = mpc._solve
+    calls = {"n": 0}
+
+    def flaky_solve():
+        calls["n"] += 1
+        if calls["n"] == 3:
+            return None, None  # simulated solver failure
+        return original_solve()
+
+    mpc._solve = flaky_solve
+    log = mpc.run(max_steps=5)
+    assert len(log) == 5  # the failed step was bridged, not fatal
