@@ -33,6 +33,8 @@ def main():
     parser.add_argument("--saa-samples", type=int, default=10)
     parser.add_argument("--saa-percentile", type=float, default=0.5)
     parser.add_argument("--saa-presets", default="85,70,50")
+    parser.add_argument("--enum-bits", type=int, default=3,
+                        help="genset MILP enumeration bits for on-chip runs")
     parser.add_argument("--mpc-chip", action="store_true",
                         help="regenerate the full-year MPC table ON CHIP "
                              "(BatchedMPC, one lax.scan per scenario) -> "
@@ -151,7 +153,8 @@ def run_saa(args):
             t0 = time.time()
             saa = BatchedSAA(mg, n_samples=args.saa_samples,
                              optimal_percentile=pct,
-                             preset_to_use=preset, dtype=np.float32)
+                             preset_to_use=preset, dtype=np.float32,
+                             enum_bits=args.enum_bits)
             rewards, _ = saa.run_scanned()
             cost, dt = float(-rewards.sum()), time.time() - t0
             rows[n][preset] = (cost, len(rewards), dt)
@@ -213,7 +216,8 @@ def run_mpc_chip(args):
         mg = Microgrid.from_scenario(n)
         n_steps = int(mg.final_step) - int(mg.initial_step)
         t0 = time.time()
-        bm = BatchedMPC(mg, batch_size=1, dtype=np.float32, host_fallback=False)
+        bm = BatchedMPC(mg, batch_size=1, dtype=np.float32, host_fallback=False,
+                        enum_bits=args.enum_bits)
         rewards, _ = bm.run_scanned(n_steps)
         cost, dt = float(-rewards[:, 0].sum()), time.time() - t0
         rows.append((n, cost, n_steps, dt))
