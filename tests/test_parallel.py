@@ -122,3 +122,39 @@ def test_auto_reset():
     assert np.isfinite(np.asarray(rewards)).all()
     # after done the state rewound: step counter stays within episode bounds
     assert int(np.asarray(final["step"]).max()) <= 20
+
+
+def test_batched_discrete_env_large_action_space_compiles():
+    """1440 discrete actions (4 batteries + genset + grid): the table-driven
+    policy keeps compile cost O(n_controllable), where a lax.switch over all
+    priority lists would explode (reference warns >1000 actions)."""
+    import time
+
+    import pymgrid_tpu
+    from pymgrid_tpu.envs import DiscreteMicrogridEnv
+
+    rng = np.random.RandomState(3)
+    T = 60
+    mods = [
+        M.LoadModule(time_series=60 * rng.rand(T), forecast_horizon=0),
+        M.RenewableModule(time_series=40 * rng.rand(T), forecast_horizon=0),
+        M.GridModule(max_import=150, max_export=150,
+                     time_series=rng.rand(T, 3), forecast_horizon=0),
+        M.GensetModule(running_min_production=5, running_max_production=40,
+                       genset_cost=0.5),
+    ] + [
+        M.BatteryModule(min_capacity=0, max_capacity=80, max_charge=40,
+                        max_discharge=40, efficiency=0.9, init_soc=0.5)
+        for _ in range(4)
+    ]
+    env = DiscreteMicrogridEnv(mods)
+    assert env.action_space.n > 1000
+
+    batched = BatchedDiscreteEnv(env, batch_size=4, dtype=np.float64)
+    states = batched.reset(seed=0)
+    t0 = time.time()
+    states, out = batched.step(states, np.array([0, 1, 7, 1337]))
+    compile_s = time.time() - t0
+    assert np.isfinite(np.asarray(out.reward)).all()
+    # generous bound: a 1440-branch switch would take minutes
+    assert compile_s < 120, f"compile took {compile_s:.1f}s"

@@ -101,8 +101,9 @@ def main():
         "Note: the published `pymgrid 25 - benchmarks.xlsx` totals were produced",
         "by the *legacy nonmodular* pipeline and differ from the reference's own",
         "modular implementation; our correctness gate is exact parity with the",
-        "reference modular implementation (verified: scenario 0 full-year RBC",
-        "cost 956,059.66 matches the reference bit-for-bit).",
+        "reference modular implementation (verified: ALL 25 scenarios' full-year",
+        "RBC reward streams match recorded reference runs bit-for-bit —",
+        "tests/test_golden_year.py).",
         "",
         "| scenario | RBC cost | RBC s | MPC cost | MPC s |",
         "|---|---|---|---|---|",
