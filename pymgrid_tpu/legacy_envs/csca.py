@@ -363,7 +363,22 @@ class ContinuousMicrogridEnv(MicrogridEnv):
         }
 
 
-class ContinuousMicrogridSampleEnv(ContinuousMicrogridEnv):
+class _SaaResampleMixin:
+    """Shared wiring for the *SampleEnv variants: an SAA sampler built at
+    construction, and load/pv/grid resampled from it on every reset."""
+
+    def _init_sampler(self, forecast_args, baseline_sampling_args):
+        self.forecast_args = forecast_args
+        self.baseline_sampling_args = baseline_sampling_args
+        self.saa = generate_sampler(self.microgrid, forecast_args)
+
+    def reset(self, sampling_args=None):
+        sample_reset(self.has_grid, self.saa, self.microgrid,
+                     sampling_args=sampling_args)
+        return super().reset()
+
+
+class ContinuousMicrogridSampleEnv(_SaaResampleMixin, ContinuousMicrogridEnv):
     """ContinuousMicrogridEnv with SAA-sampled data on reset
     (reference lines 487-508)."""
 
@@ -374,13 +389,7 @@ class ContinuousMicrogridSampleEnv(ContinuousMicrogridEnv):
         super().__init__(
             microgrid, standardization=standardization, max_episode_len=max_episode_len
         )
-        self.forecast_args = forecast_args
-        self.baseline_sampling_args = baseline_sampling_args
-        self.saa = generate_sampler(self.microgrid, forecast_args)
-
-    def reset(self, sampling_args=None):
-        sample_reset(self.has_grid, self.saa, self.microgrid, sampling_args=sampling_args)
-        return super().reset()
+        self._init_sampler(forecast_args, baseline_sampling_args)
 
 
 class SafeExpMicrogridEnv(ContinuousMicrogridEnv):
@@ -479,7 +488,7 @@ class SafeExpMicrogridEnv(ContinuousMicrogridEnv):
         return np.array(constraints)
 
 
-class SafeExpMicrogridSampleEnv(SafeExpMicrogridEnv):
+class SafeExpMicrogridSampleEnv(_SaaResampleMixin, SafeExpMicrogridEnv):
     """SafeExpMicrogridEnv with SAA-sampled data on reset
     (reference lines 645-672)."""
 
@@ -496,10 +505,4 @@ class SafeExpMicrogridSampleEnv(SafeExpMicrogridEnv):
             trajectory_len=trajectory_len,
             max_episode_len=max_episode_len,
         )
-        self.forecast_args = forecast_args
-        self.baseline_sampling_args = baseline_sampling_args
-        self.saa = generate_sampler(self.microgrid, forecast_args)
-
-    def reset(self, sampling_args=None):
-        sample_reset(self.has_grid, self.saa, self.microgrid, sampling_args=sampling_args)
-        return super().reset()
+        self._init_sampler(forecast_args, baseline_sampling_args)
