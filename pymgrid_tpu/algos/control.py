@@ -30,22 +30,24 @@ class HorizonOutput:
 
     def compute_cost_over_horizon(self, current_step):
         mg = self.microgrid
-        horizon = mg.horizon
-        window = slice(current_step, current_step + horizon)
+        window = slice(current_step, current_step + mg.horizon)
 
-        cost = 0.0
-        cost += self.df["loss_load"].sum() * mg.parameters["cost_loss_load"].values[0]
-
+        # parts fold left-to-right from 0.0 (same float order as a += chain)
+        parts = [
+            self.df["loss_load"].sum() * mg.parameters["cost_loss_load"].values[0]
+        ]
         if mg.architecture["genset"] == 1:
-            cost += self.df["genset"].sum() * mg.parameters["fuel_cost"].values[0]
-
+            parts.append(
+                self.df["genset"].sum() * mg.parameters["fuel_cost"].values[0]
+            )
         if mg.architecture["grid"] == 1:
             buy_price = mg._grid_price_import.iloc[window].values.reshape(-1)
             sell_price = mg._grid_price_export.iloc[window].values.reshape(-1)
-            cost += (buy_price * self.df["grid_import"]).sum() - (
-                sell_price * self.df["grid_export"]
-            ).sum()
-        return cost
+            parts.append(
+                (buy_price * self.df["grid_import"]).sum()
+                - (sell_price * self.df["grid_export"]).sum()
+            )
+        return sum(parts)
 
     def __eq__(self, other):
         if type(self) != type(other):

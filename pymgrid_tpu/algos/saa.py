@@ -66,6 +66,12 @@ class SampleAverageApproximation(SampleGenerator):
             )
         return forecast_steps
 
+    def _solve_horizon(self, sample, output, j):
+        """Overwrite row j with realized data (saa.py:128), then one MPC
+        horizon solve."""
+        sample.iloc[j] = self.underlying_data.iloc[j]
+        return self.mpc.mpc_single_step(sample, output, j)
+
     def _record_step(self, output, horizon_output, j):
         output.append(
             horizon_output,
@@ -119,8 +125,7 @@ class SampleAverageApproximation(SampleGenerator):
             horizon_outputs = []
             for sample in samples:
                 self._validate_sample(sample)
-                sample.iloc[j] = self.underlying_data.iloc[j]  # actual data at t
-                horizon_outputs.append(self.mpc.mpc_single_step(sample, output, j))
+                horizon_outputs.append(self._solve_horizon(sample, output, j))
 
             best = self.determine_optimal_actions(
                 outputs=horizon_outputs, percentile=optimal_percentile
@@ -137,7 +142,5 @@ class SampleAverageApproximation(SampleGenerator):
         for j in range(n_steps):
             if verbose:
                 print(f"iter {j}")
-            sample.iloc[j] = self.underlying_data.iloc[j]
-            horizon_output = self.mpc.mpc_single_step(sample, output, j)
-            self._record_step(output, horizon_output, j)
+            self._record_step(output, self._solve_horizon(sample, output, j), j)
         return output

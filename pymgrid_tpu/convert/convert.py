@@ -32,10 +32,12 @@ def to_nonmodular(modular):
     from pymgrid_tpu.nonmodular import NonModularMicrogrid
 
     check_viability(modular)
+    leading_modules = [ml[0] for _, ml in modular.modules.iterdict()]
+
     record = get_empty_params()
-    for _, module_list in modular.modules.iterdict():
-        add_params_from_module(module_list[0], record)
+    for module in leading_modules:
+        add_params_from_module(module, record)
     finalize_params(record)
-    return NonModularMicrogrid(
-        parameters=record, horizon=modular.get_forecast_horizon() + 1
-    )
+
+    legacy_horizon = modular.get_forecast_horizon() + 1
+    return NonModularMicrogrid(parameters=record, horizon=legacy_horizon)
