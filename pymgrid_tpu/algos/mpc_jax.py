@@ -485,16 +485,23 @@ class BatchedMPC:
                 rewards.append(np.asarray(outs.reward))
         return (np.stack(rewards) if collect_rewards else None), states
 
-    def run_scanned(self, n_steps, seed=0):
-        """Whole receding-horizon rollout as ONE ``lax.scan`` program: plan
-        (batched LP/MILP solve) + act fused per step, no per-step host
-        dispatch — the fast path for full-year tables.  Host fallback is
-        unavailable inside the scan (use :meth:`run` for that)."""
+    def run_scanned(self, n_steps, seed=0, chunk=None):
+        """Whole receding-horizon rollout under ``lax.scan``: plan (batched
+        LP/MILP solve) + act fused per step, no per-step host dispatch — the
+        fast path for full-year tables.  Host fallback is unavailable inside
+        the scan (use :meth:`run` for that).
+
+        ``chunk``: split the rollout into fixed-size scan segments compiled
+        once and invoked sequentially.  Long genset (MILP-enumeration) scans
+        have crashed the TPU worker through the relay; ``chunk=500`` keeps
+        the compiled program small at ~zero dispatch cost.
+        """
         import jax
         import numpy as np
         from jax import lax
 
         states = self.reset(seed)
+        seg = n_steps if chunk is None else min(chunk, n_steps)
 
         @jax.jit
         def rollout(params, states):
@@ -503,7 +510,13 @@ class BatchedMPC:
                 new_states, outs = self._act_inner(params, states, actions)
                 return new_states, outs.reward
 
-            return lax.scan(body, states, None, length=n_steps)
+            return lax.scan(body, states, None, length=seg)
 
-        final_states, rewards = rollout(self.params, states)
-        return np.asarray(rewards), final_states
+        reward_segments = []
+        done = 0
+        while done < n_steps:
+            states, rewards = rollout(self.params, states)
+            reward_segments.append(np.asarray(rewards))
+            done += seg
+        stacked = np.concatenate(reward_segments, axis=0)[:n_steps]
+        return stacked, states

@@ -219,7 +219,10 @@ def run_mpc_chip(args):
         t0 = time.time()
         bm = BatchedMPC(mg, batch_size=1, dtype=np.float32, host_fallback=False,
                         enum_bits=args.enum_bits)
-        rewards, _ = bm.run_scanned(n_steps)
+        # genset scans chunked: full-year MILP-enumeration programs have
+        # crashed the TPU worker through the relay
+        chunk = 500 if bm.template.has_genset else None
+        rewards, _ = bm.run_scanned(n_steps, chunk=chunk)
         cost, dt = float(-rewards[:, 0].sum()), time.time() - t0
         rows.append((n, cost, n_steps, dt))
         print(f"scenario {n}: chip-MPC {cost:,.2f} ({n_steps} steps, {dt:.1f}s)",
