@@ -5,8 +5,8 @@ Actor-critic (A2C-style) training of an MLP policy on the discrete
 priority-list environment, fully on device:
 
 * B env replicas step in lockstep inside ``lax.scan`` (policy forward +
-  lax.switch action dispatch + three-phase microgrid dispatch + auto-reset,
-  all one fused program per step);
+  table-driven priority-list dispatch + three-phase microgrid dispatch +
+  auto-reset, all one fused program per step);
 * the learner is data-parallel over a ``batch`` mesh axis: replicas shard
   across chips, the MLP replicates, and XLA inserts the gradient psum — the
   "env batch feeds a sharded learner via collectives" layout from SURVEY §2.7.
@@ -33,7 +33,7 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
     from jax import lax
 
     from pymgrid_tpu.core.engine import make_reset_fn, make_step_fn
-    from pymgrid_tpu.core.rollout import make_priority_policy
+    from pymgrid_tpu.core.rollout import make_table_policy
     from pymgrid_tpu.core.spec import extract_spec
     from pymgrid_tpu.envs import DiscreteMicrogridEnv
 
@@ -43,9 +43,9 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
 
     n_actions = env.action_space.n
     obs_dim = spec.obs_dim
-    action_policies = [
-        make_priority_policy(spec, list(pl)) for pl in env.actions_list
-    ]
+    # integer actions index a precomputed priority-ordering table: compile
+    # cost stays O(n_controllable) regardless of the action-space size
+    table_policy = make_table_policy(spec, [list(pl) for pl in env.actions_list])
     step_fn = make_step_fn(spec, normalized=False)
     reset_fn = make_reset_fn(spec)
 
@@ -78,13 +78,8 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
     reward_scale = 1e-4
 
     def env_step(params, state, action_idx, out_done):
-        new_state, out = lax.switch(
-            action_idx,
-            [
-                lambda p=p: step_fn(params, state, p(params, state))
-                for p in action_policies
-            ],
-        )
+        action = table_policy(params, state, action_idx)
+        new_state, out = step_fn(params, state, action)
         fresh = reset_fn(params, new_state["rng"])
         new_state = jax.tree.map(
             lambda f, n: jnp.where(out.done, f, n), fresh, new_state
