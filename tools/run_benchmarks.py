@@ -219,9 +219,9 @@ def run_mpc_chip(args):
         t0 = time.time()
         bm = BatchedMPC(mg, batch_size=1, dtype=np.float32, host_fallback=False,
                         enum_bits=args.enum_bits)
-        # genset scans chunked: full-year MILP-enumeration programs have
-        # crashed the TPU worker through the relay
-        chunk = 500 if bm.template.has_genset else None
+        # chunked: the relay kills device executions beyond ~2 minutes
+        # (surfaces as "TPU worker crashed"), so keep each scan segment short
+        chunk = 500 if bm.template.has_genset else 4000
         rewards, _ = bm.run_scanned(n_steps, chunk=chunk)
         cost, dt = float(-rewards[:, 0].sum()), time.time() - t0
         rows.append((n, cost, n_steps, dt))
