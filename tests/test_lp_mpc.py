@@ -225,3 +225,17 @@ def test_mpc_use_previous_controls_on_solver_failure():
     mpc._solve = flaky_solve
     log = mpc.run(max_steps=5)
     assert len(log) == 5  # the failed step was bridged, not fatal
+
+
+def test_run_scanned_matches_stepwise():
+    """run_scanned (incl. chunked segments) == the python-loop run path."""
+    from pymgrid_tpu.algos.mpc_jax import BatchedMPC
+
+    bm = BatchedMPC(pymgrid_tpu.Microgrid.from_scenario(0), batch_size=1,
+                    dtype=np.float64, host_fallback=False)
+    r_loop, _ = bm.run(10)
+    r_scan, _ = bm.run_scanned(10)
+    r_chunked, _ = bm.run_scanned(10, chunk=4)
+
+    np.testing.assert_allclose(r_scan[:, 0], r_loop[:, 0], rtol=1e-12)
+    np.testing.assert_allclose(r_chunked[:, 0], r_loop[:, 0], rtol=1e-12)
