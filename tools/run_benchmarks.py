@@ -162,7 +162,7 @@ def run_saa(args):
             print(f"scenario {n}: SAA-{preset} {cost:,.2f} "
                   f"({len(rewards)} steps, {dt:.1f}s)", flush=True)
 
-    out = REPO / "RESULTS_SAA.md"
+    out = args.out if str(args.out).endswith("_SAA.md") or "SAA" in str(args.out) else REPO / "RESULTS_SAA.md"
     lines = [
         "# RESULTS — on-chip stochastic MPC (SAA) full-year costs",
         "",
