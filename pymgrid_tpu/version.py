@@ -1,4 +1,4 @@
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 #: Version of the reference API surface this framework mirrors
 #: (Total-RD/pymgrid, see /root/reference src/pymgrid/version.py:1).
