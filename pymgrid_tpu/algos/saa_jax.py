@@ -210,14 +210,17 @@ class BatchedSAA:
                       f"(chose sample {int(chosen)})")
         return np.asarray(rewards, dtype=np.float64), state
 
-    def run_scanned(self, n_steps=None, seed=0):
-        """Whole stochastic-MPC year as ONE ``lax.scan`` program (sample
-        solves + percentile pick + engine step fused per scan iteration)."""
+    def run_scanned(self, n_steps=None, seed=0, chunk=500):
+        """Whole stochastic-MPC year under ``lax.scan`` (sample solves +
+        percentile pick + engine step fused per scan iteration), executed in
+        fixed-size segments — the relay kills device executions beyond ~2
+        minutes (see CLAUDE.md), so each segment stays short."""
         import jax
         from jax import lax
 
         max_steps = self.sample_length - self.horizon
         n_steps = max_steps if n_steps is None else min(n_steps, max_steps)
+        seg = n_steps if chunk is None else min(chunk, n_steps)
 
         state = self.reset(seed)
 
@@ -229,9 +232,15 @@ class BatchedSAA:
                 )
                 return new_state, out.reward
 
-            return lax.scan(body, state, None, length=n_steps)
+            return lax.scan(body, state, None, length=seg)
 
-        final_state, rewards = rollout(
-            self.params, state, self.sample_pv, self.sample_load, self.sample_grid
-        )
-        return np.asarray(rewards, dtype=np.float64), final_state
+        reward_segments = []
+        done = 0
+        while done < n_steps:
+            state, rewards = rollout(
+                self.params, state, self.sample_pv, self.sample_load, self.sample_grid
+            )
+            reward_segments.append(np.asarray(rewards, dtype=np.float64))
+            done += seg
+        stacked = np.concatenate(reward_segments, axis=0)[:n_steps]
+        return stacked, state
