@@ -21,7 +21,10 @@ log-materializing rollout (full StepOutput incl. log rows written to HBM).
 Env knobs: PYMGRID_BENCH_REPLICAS (default 20480 per config -> 512k envs),
 PYMGRID_BENCH_STEPS (default 1000), PYMGRID_BENCH_REPEATS (3),
 PYMGRID_BENCH_CONFIGS (default 25), PYMGRID_BENCH_SKIP_EXTRAS=1 to print the
-suite number alone.
+suite number alone.  Extras: PYMGRID_BENCH_RL_BATCH (65536),
+PYMGRID_BENCH_RL_STEPS (100), PYMGRID_BENCH_COLLECT_REPLICAS (512),
+PYMGRID_BENCH_COLLECT_STEPS (250), PYMGRID_BENCH_COLLECT_CONFIGS (=CONFIGS).
+Every code path here is exercised at tiny sizes by tests/test_bench_smoke.py.
 """
 import json
 import os
@@ -74,10 +77,13 @@ def bench_rl_env_step(batch_size=65536, n_steps=100, dtype=np.float32, seed=0):
     return batch_size * n_steps / wall
 
 
-def bench_collect_rollout(replicas=2048, n_steps=1000, n_configs=25,
+def bench_collect_rollout(replicas=512, n_steps=250, n_configs=25,
                           dtype=np.float32):
-    """Log-materializing rollout: full StepOutput (obs/reward/done/log rows)
-    written to HBM every step, as a data-collection run would."""
+    """Log-materializing rollout: the full time-major StepOutput pytree
+    (obs/reward/shaped_reward/done/log rows/balance scalars) written to HBM
+    every step, as a data-collection run would.  Sizes are smaller than the
+    throughput suite because the outputs live in HBM for the whole episode
+    (~200 f32 fields/step/env)."""
     from pymgrid_tpu import Microgrid
     from pymgrid_tpu.core.rollout import make_marginal_cost_policy
     from pymgrid_tpu.parallel.suite import SuiteRunner
@@ -89,7 +95,8 @@ def bench_collect_rollout(replicas=2048, n_steps=1000, n_configs=25,
     keys = runner.make_keys(seed=0)
 
     _, outs = fn(runner.params, keys)
-    np.asarray(outs.reward)  # compile + execute
+    assert outs.obs.shape[-2] == n_steps and outs.log_row.ndim == 4
+    np.asarray(outs.reward)  # compile + execute (fetch rewards only)
 
     t0 = time.perf_counter()
     _, outs = fn(runner.params, keys)
@@ -139,8 +146,21 @@ def main():
     }
 
     if not int(os.environ.get("PYMGRID_BENCH_SKIP_EXTRAS", 0)):
-        result["rl_env_steps_per_sec"] = round(bench_rl_env_step(), 1)
-        result["collect_steps_per_sec"] = round(bench_collect_rollout(), 1)
+        result["rl_env_steps_per_sec"] = round(
+            bench_rl_env_step(
+                batch_size=int(os.environ.get("PYMGRID_BENCH_RL_BATCH", 65536)),
+                n_steps=int(os.environ.get("PYMGRID_BENCH_RL_STEPS", 100)),
+            ),
+            1,
+        )
+        result["collect_steps_per_sec"] = round(
+            bench_collect_rollout(
+                replicas=int(os.environ.get("PYMGRID_BENCH_COLLECT_REPLICAS", 512)),
+                n_steps=int(os.environ.get("PYMGRID_BENCH_COLLECT_STEPS", 250)),
+                n_configs=int(os.environ.get("PYMGRID_BENCH_COLLECT_CONFIGS", n_configs)),
+            ),
+            1,
+        )
 
     print(json.dumps(result))
 

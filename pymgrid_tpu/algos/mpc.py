@@ -33,17 +33,25 @@ _P_GENSET, _IMPORT, _EXPORT, _CHARGE, _DISCHARGE, _CURTAIL, _LOSS_LOAD, _SOC = r
 
 
 class ModelPredictiveControl:
-    def __init__(self, microgrid, solver=None, tight_battery_bounds=False):
+    def __init__(self, microgrid, solver=None, tight_battery_bounds=False,
+                 tie_break_eps=1e-6):
         """``tight_battery_bounds``: the reference MPC bounds the *external*
         battery flows by ``max_charge``/``max_discharge``, but the modular
         simulator applies those limits to the *internal* flows (external
         discharge caps at ``max_discharge*efficiency``), so planned discharges
         get clipped and show up as loss load.  Setting this True tightens the
         model to the simulator's true bounds (a documented improvement over
-        the reference's default, which is kept for parity)."""
+        the reference's default, which is kept for parity).
+
+        ``tie_break_eps``: magnitude of the deterministic activity penalties
+        added to the cost vector so degenerate problems pick one optimal
+        vertex regardless of solver.  Pass 0 to hand the solver the raw
+        (tie-laden) costs — the reference's formulation — e.g. for
+        vertex-level parity runs against the in-process reference MPC."""
         self.microgrid = microgrid
         self.is_modular = hasattr(microgrid, "modules")
         self.tight_battery_bounds = tight_battery_bounds
+        self.tie_break_eps = tie_break_eps
         self.microgrid_module_names = (
             self._get_modules(microgrid) if self.is_modular else {}
         )
@@ -259,7 +267,7 @@ class ModelPredictiveControl:
         # solvers pick different optimal vertices.  An infinitesimal activity
         # penalty prefers serving load with renewables first, then battery —
         # the vertex the reference's solvers select in its test suite.
-        eps = 1e-6
+        eps = self.tie_break_eps
         cost_block = cost_block.astype(float).copy()
         cost_block[charge_i] += eps
         cost_block[discharge_i] += eps

@@ -166,7 +166,40 @@ def _realized_forecast(spec, params, state, ref, t):
     if ref.forecaster == "gaussian":
         gslot = [m.slot for m in _gaussian_refs(spec, ref.kind)].index(ref.slot)
         return state["forecast"][ref.kind][gslot][: ref.forecast_horizon]
+    if ref.forecaster == "user":
+        return _user_window(spec, params, ref, t)
     return _oracle_window(spec, params, ref, t)
+
+
+def _user_window(spec, params, ref, t):
+    """User-defined forecast window at step ``t``.
+
+    The user callable (validated deterministic at spec extraction,
+    ``core/spec.py:_engine_forecast_fn``) is traced on the full fill-padded
+    window; rows past the data end revert to the midpoint fill and the result
+    is clipped to the observation bounds — the host's truncate/pad/clip
+    sequence (``forecast/forecaster.py:218-231``) for row-wise callables.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    dtype = jnp.dtype(spec.dtype)
+    h, f = ref.forecast_horizon, ref.n_features
+    window = _oracle_window(spec, params, ref, t)
+    val_c = lax.dynamic_index_in_dim(
+        params[ref.kind]["ts"][ref.slot], t, axis=0, keepdims=False
+    ).astype(dtype)
+    raw = _trace_custom(
+        ref, lambda: jnp.asarray(ref.custom_fn(val_c, window, h, jnp), dtype)
+    ).reshape(h, f)
+    n_real = jnp.clip(ref.ts_length - 1 - t, 0, h)
+    mask = (jnp.arange(h) < n_real)[:, None]
+    out = jnp.where(mask, raw, window)
+    return jnp.clip(
+        out,
+        params[ref.kind]["obs_low"][ref.slot],
+        params[ref.kind]["obs_high"][ref.slot],
+    )
 
 
 def _forecasts_at(spec, params, t, key):

@@ -34,7 +34,7 @@ __all__ = ["ModuleRef", "MicrogridSpec", "extract_spec"]
 
 _KINDS = ("load", "renewable", "battery", "genset", "grid", "balancing")
 
-_FORECASTER_KINDS = ("none", "oracle", "gaussian")
+_FORECASTER_KINDS = ("none", "oracle", "gaussian", "user")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,7 +46,7 @@ class ModuleRef:
     name: str            # container name, e.g. 'pv'
     num: int             # index among same-named modules
     log_fields: Tuple[str, ...]
-    forecaster: str = "none"       # ts modules: none | oracle | gaussian
+    forecaster: str = "none"       # ts modules: none | oracle | gaussian | user
     forecast_horizon: int = 0
     n_features: int = 1
     obs_dim: int = 0
@@ -148,11 +148,62 @@ def _ts_module_meta(module):
         kind = "oracle"
     elif fc == "GaussianNoiseForecaster":
         kind = "gaussian"
+    elif fc == "UserDefinedForecaster":
+        kind = "user"
     else:
         raise NotImplementedError(
             f"Engine does not support forecaster {fc}; use the host Microgrid."
         )
     return kind, module.forecast_horizon, len(module.state_components)
+
+
+def _engine_forecast_fn(module):
+    """Engine-traceable wrapper for a :class:`UserDefinedForecaster` callable
+    (reference ``forecast/forecaster.py:283-373``), or ``None``.
+
+    The engine evaluates the callable inside jit on the full (fill-padded)
+    forecast window, then reverts off-end rows to the midpoint fill and clips
+    — matching the host's truncate/pad/clip sequence for row-wise callables.
+    Nondeterministic callables (e.g. drawing from ``np.random``) would have
+    their randomness silently frozen at trace time, so they are rejected here
+    with guidance to use the host path or a :class:`GaussianNoiseForecaster`.
+    """
+    forecaster = module.forecaster
+    if type(forecaster).__name__ != "UserDefinedForecaster":
+        return None
+
+    ts = np.asarray(module.time_series, dtype=np.float64)
+    h = max(int(module.forecast_horizon), 1)
+    window = ts[1 : 1 + min(h, len(ts) - 1)]
+    probe = lambda: np.asarray(forecaster._forecaster(ts[0], window, len(window)))
+    if not np.array_equal(probe(), probe()):
+        raise NotImplementedError(
+            "Engine requires a deterministic user forecaster (two calls on "
+            "identical inputs returned different values — e.g. np.random "
+            "noise would be frozen at trace time).  Use the host Microgrid "
+            "or a GaussianNoiseForecaster."
+        )
+
+    if forecaster.is_vectorized_forecaster:
+        fn = forecaster._user_forecaster
+
+        def traced(val_c, window, n, jnp):
+            return jnp.asarray(fn(val_c, window, n)).reshape(window.shape)
+
+        return traced
+
+    scalar_fn = forecaster._user_forecaster
+
+    def traced(val_c, window, n, jnp):
+        # the host's vectorize wrapper (forecast/forecaster.py
+        # vectorize_scalar_forecaster) as a trace-time unroll
+        rows = [
+            jnp.asarray(scalar_fn(val_c, window[i], i)).reshape(-1)
+            for i in range(n)
+        ]
+        return jnp.stack(rows).reshape(window.shape)
+
+    return traced
 
 
 def _ts_log_fields(module, extra_fields):
@@ -201,6 +252,7 @@ def extract_spec(microgrid, dtype=np.float64):
                 "load", len(slots["load"]), name, num,
                 _ts_log_fields(module, ("reward", "load_met")),
                 fkind, h, f, obs_dim=f * (1 + h), ts_length=len(module),
+                custom_fn=_engine_forecast_fn(module),
             )
         if isinstance(module, RenewableModule):
             fkind, h, f = _ts_module_meta(module)
@@ -208,6 +260,7 @@ def extract_spec(microgrid, dtype=np.float64):
                 "renewable", len(slots["renewable"]), name, num,
                 _ts_log_fields(module, ("reward", "curtailment", module.provided_energy_name)),
                 fkind, h, f, obs_dim=f * (1 + h), ts_length=len(module),
+                custom_fn=_engine_forecast_fn(module),
             )
         if isinstance(module, GridModule):
             fkind, h, f = _ts_module_meta(module)
@@ -215,6 +268,7 @@ def extract_spec(microgrid, dtype=np.float64):
                 "grid", len(slots["grid"]), name, num,
                 _ts_log_fields(module, ("reward", "co2_production", "grid_import", "grid_export")),
                 fkind, h, f, obs_dim=f * (1 + h), ts_length=len(module),
+                custom_fn=_engine_forecast_fn(module),
             )
         if isinstance(module, BatteryModule):
             return ModuleRef(

@@ -253,6 +253,9 @@ class UserDefinedForecaster(Forecaster):
         self.is_vectorized_forecaster, self.cast_to_arr = _validate_callable_forecaster(
             forecaster_function, time_series
         )
+        # the unwrapped user callable; the compiled engine re-vectorizes it
+        # with jnp.stack instead of the numpy wrapper below (core/spec.py)
+        self._user_forecaster = forecaster_function
         if not self.is_vectorized_forecaster:
             forecaster_function = vectorize_scalar_forecaster(forecaster_function)
         self._forecaster = forecaster_function

@@ -165,7 +165,15 @@ class SuiteRunner:
             self.params = jax.device_put(self.params, self._param_sharding)
 
     def rollout_fn(self, policy, n_steps, auto_reset=True, collect=False):
-        """Jitted ``(params, keys) -> per-config, per-replica outputs``."""
+        """Jitted ``(params, keys) -> per-config, per-replica outputs``.
+
+        With ``collect=False`` (throughput mode) returns the scalar
+        reward+obs checksum per env.  With ``collect=True`` returns
+        ``(checksum, StepOutput)`` where the ``StepOutput`` pytree is
+        time-major over the full episode — the same collect contract as
+        :func:`pymgrid_tpu.core.rollout.make_rollout_fn` (obs, rewards,
+        dones, log rows all materialized to HBM every step).
+        """
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -188,15 +196,15 @@ class SuiteRunner:
                     )
                 acc = acc + out.reward + out.obs.sum()
                 if collect:
-                    return (new_state, acc), out.reward
+                    return (new_state, acc), out
                 return (new_state, acc), None
 
-            (final_state, acc), rewards = lax.scan(
+            (final_state, acc), outs = lax.scan(
                 body, (state, jnp.asarray(0.0, jnp.dtype(spec.dtype))), None,
                 length=n_steps,
             )
             if collect:
-                return acc, rewards
+                return acc, outs
             return acc
 
         def suite_rollout(params, keys):

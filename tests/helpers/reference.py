@@ -70,9 +70,13 @@ def _install_viz_stubs():
     try:
         import statsmodels.regression.quantile_regression  # noqa: F401
     except ImportError:
+        # A *working* miniature QuantReg (exact LP via HiGHS) so the
+        # reference's NoisyPVData curve interpolation — and therefore its
+        # SampleAverageApproximation — runs genuinely in-process.
         sm = _stub("statsmodels")
         reg = _stub("statsmodels.regression")
-        qr = _stub("statsmodels.regression.quantile_regression", ["QuantReg"])
+        qr = _stub("statsmodels.regression.quantile_regression")
+        qr.QuantReg = _MiniQuantReg
         sm.regression = reg
         reg.quantile_regression = qr
     try:
@@ -83,6 +87,34 @@ def _install_viz_stubs():
         from helpers import cvxpy_shim
 
         sys.modules["cvxpy"] = cvxpy_shim
+
+
+class _MiniQuantReg:
+    """statsmodels-compatible quantile regression over pandas inputs.
+
+    Backed by the exact LP formulation (the same solver path as
+    ``pymgrid_tpu.utils.data_generator.quantile_regression_fit``), so the
+    reference's PV curve fits and ours agree bitwise in parity tests.
+    """
+
+    def __init__(self, endog, exog):
+        self.endog = endog
+        self.exog = exog
+
+    def fit(self, q=0.5, **kwargs):
+        import numpy as np
+        import pandas as pd
+
+        from pymgrid_tpu.utils.data_generator import quantile_regression_fit
+
+        beta = quantile_regression_fit(
+            np.asarray(self.endog, dtype=float),
+            np.asarray(self.exog, dtype=float),
+            q,
+        )
+        index = getattr(self.exog, "columns", None)
+        params = pd.Series(beta, index=index)
+        return types.SimpleNamespace(params=params)
 
 
 def _patch_numpy_compat():

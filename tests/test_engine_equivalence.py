@@ -319,3 +319,80 @@ def test_many_module_balance_drift_bounded():
     np.testing.assert_allclose(eng_r, host_r, rtol=1e-12, atol=1e-9)
     # accumulated full-horizon cost: tighter than 1e-12 relative
     assert abs(eng_r.sum() - host_r.sum()) <= 1e-12 * abs(host_r.sum())
+
+
+# ---------------------------------------------------------------------------
+# user-defined forecasters in the compiled engine
+# ---------------------------------------------------------------------------
+def _damped_vector_forecast(val_c, val_c_n, n):
+    """Vectorized row-wise user forecaster: geometric damping toward the
+    current row.  Branchless — runs identically on numpy rows (host) and jnp
+    tracers (engine)."""
+    return 0.9 * val_c_n + 0.1 * val_c
+
+
+def _scalar_damped_forecast(val_c, v, n_i):
+    """Scalar-only user forecaster: rejects vector windows so the host
+    classifies it scalar and auto-vectorizes (forecast/forecaster.py)."""
+    if v.shape != val_c.shape:
+        raise ValueError("scalar forecaster takes one row at a time")
+    return 0.5 * v + 0.5 * val_c
+
+
+def _user_forecast_microgrid(seed, forecaster, horizon, timesteps=120,
+                             with_grid=True):
+    # user forecasters go on the 1-feature pv/load series only: the
+    # reference's sign validation is ambiguous on multi-feature rows and
+    # rejects a vectorized callable on a (T, 4) grid series the same way
+    # (forecaster.py:356-361 in the reference)
+    rng = np.random.RandomState(seed)
+    mods = [
+        M.BatteryModule(min_capacity=10, max_capacity=100, max_charge=50,
+                        max_discharge=50, efficiency=0.9,
+                        battery_cost_cycle=0.02, init_soc=0.5),
+        ("pv", M.RenewableModule(time_series=50 * rng.rand(timesteps),
+                                 forecaster=forecaster,
+                                 forecast_horizon=horizon)),
+        M.LoadModule(time_series=60 * rng.rand(timesteps),
+                     forecaster=forecaster, forecast_horizon=horizon),
+    ]
+    if with_grid:
+        mods.append(
+            M.GridModule(max_import=100, max_export=100,
+                         time_series=rng.rand(timesteps, 3),
+                         forecaster="oracle", forecast_horizon=horizon)
+        )
+    return Microgrid(mods)
+
+
+def test_engine_user_forecaster_vectorized():
+    """A traceable vectorized UserDefinedForecaster compiles into the engine
+    and stays bitwise-equal to the host (reference forecaster.py:283-373)."""
+    mg = _user_forecast_microgrid(61, _damped_vector_forecast, 6)
+    run_equivalence(mg, n_steps=40, seed=13)
+
+
+def test_engine_user_forecaster_scalar():
+    """A scalar user forecaster is re-vectorized as a trace-time unroll."""
+    mg = _user_forecast_microgrid(62, _scalar_damped_forecast, 4,
+                                  with_grid=False)
+    run_equivalence(mg, n_steps=30, seed=14)
+
+
+def test_engine_user_forecaster_off_end():
+    """Off-end user forecasts revert to the midpoint fill rows (the host's
+    pad-then-clip sequence)."""
+    mg = _user_forecast_microgrid(63, _damped_vector_forecast, 6,
+                                  timesteps=25)
+    run_equivalence(mg, n_steps=25, seed=15)
+
+
+def test_engine_user_forecaster_nondeterministic_rejected():
+    """np.random inside a user callable would freeze at trace time — the
+    engine rejects it at spec extraction with guidance."""
+    def noisy(val_c, val_c_n, n):
+        return val_c_n * (1 + 0.01 * np.abs(np.random.rand(*np.shape(val_c_n))))
+
+    mg = _user_forecast_microgrid(64, noisy, 4)
+    with pytest.raises(NotImplementedError, match="deterministic"):
+        CompiledMicrogrid(mg, dtype=np.float64)

@@ -60,7 +60,8 @@ def test_suite_runner_matches_individual():
 
     fn = runner.rollout_fn(policy, 40, auto_reset=True, collect=True)
     keys = runner.make_keys(seed=0)
-    acc, rewards = fn(runner.params, keys)
+    acc, outs = fn(runner.params, keys)
+    rewards = outs.reward
     assert np.asarray(rewards).shape == (2, 2, 40)
 
     # solo runs per config with same keys
@@ -106,7 +107,8 @@ def test_runtime_rbc_matches_host_all_scenarios():
     runner = SuiteRunner(mgs, batch_per_config=1, dtype=np.float64)
     policy = make_marginal_cost_policy(runner.spec)
     fn = runner.rollout_fn(policy, 40, auto_reset=False, collect=True)
-    _, rewards = fn(runner.params, runner.make_keys(seed=0))
+    _, outs = fn(runner.params, runner.make_keys(seed=0))
+    rewards = outs.reward
 
     for c, n in enumerate(scenarios):
         host_log = RuleBasedControl(
