@@ -12,11 +12,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "env_steps/s/chip", "vs_baseline": N}
 vs_baseline is relative to the 1M env-steps/s/chip target (BASELINE.md).
 
-Besides the headline suite number, the same line carries the two RL-facing
+Besides the headline suite number, the same line carries the RL-facing
 paths a user would actually train on: ``rl_env_steps_per_sec`` times
 ``BatchedDiscreteEnv.step`` (integer actions in, observations back to the
-learner, python-loop dispatch included) and ``collect_steps_per_sec`` times a
-log-materializing rollout (full StepOutput incl. log rows written to HBM).
+learner, python-loop dispatch included), ``continuous_env_steps_per_sec``
+times ``BatchedContinuousEnv.step`` (normalized box actions), and
+``collect_steps_per_sec`` times a log-materializing rollout (full
+StepOutput incl. log rows written to HBM).
 
 Env knobs: PYMGRID_BENCH_REPLICAS (default 20480 per config -> 512k envs),
 PYMGRID_BENCH_STEPS (default 1000), PYMGRID_BENCH_REPEATS (3),
@@ -73,6 +75,29 @@ def bench_rl_env_step(batch_size=65536, n_steps=100, dtype=np.float32, seed=0):
     for k in range(n_steps):
         states, out = batched.step(states, action_seq[k])
     np.asarray(out.obs)  # force execution + fetch of the last obs
+    wall = time.perf_counter() - t0
+    return batch_size * n_steps / wall
+
+
+def bench_continuous_env_step(batch_size=65536, n_steps=100, dtype=np.float32,
+                              seed=0):
+    """Continuous RL path: BatchedContinuousEnv.step with obs returned."""
+    from pymgrid_tpu.envs import ContinuousMicrogridEnv
+    from pymgrid_tpu.parallel.batched_env import BatchedContinuousEnv
+
+    env = ContinuousMicrogridEnv.from_scenario(1)  # genset + weak grid
+    batched = BatchedContinuousEnv(env, batch_size=batch_size, dtype=dtype)
+    rng = np.random.RandomState(seed)
+    action_seq = rng.rand(n_steps, batch_size, batched.action_dim).astype(dtype)
+
+    states = batched.reset(seed=seed)
+    states, out = batched.step(states, action_seq[0])  # compile
+    np.asarray(out.obs)
+
+    t0 = time.perf_counter()
+    for k in range(n_steps):
+        states, out = batched.step(states, action_seq[k])
+    np.asarray(out.obs)
     wall = time.perf_counter() - t0
     return batch_size * n_steps / wall
 
@@ -148,6 +173,13 @@ def main():
     if not int(os.environ.get("PYMGRID_BENCH_SKIP_EXTRAS", 0)):
         result["rl_env_steps_per_sec"] = round(
             bench_rl_env_step(
+                batch_size=int(os.environ.get("PYMGRID_BENCH_RL_BATCH", 65536)),
+                n_steps=int(os.environ.get("PYMGRID_BENCH_RL_STEPS", 100)),
+            ),
+            1,
+        )
+        result["continuous_env_steps_per_sec"] = round(
+            bench_continuous_env_step(
                 batch_size=int(os.environ.get("PYMGRID_BENCH_RL_BATCH", 65536)),
                 n_steps=int(os.environ.get("PYMGRID_BENCH_RL_STEPS", 100)),
             ),

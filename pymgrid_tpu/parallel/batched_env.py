@@ -8,13 +8,20 @@ deployment scan) so compile time stays O(n_controllable) no matter how large
 the ``n!·2^g`` action space grows, and episodes auto-reset.  This is the
 batched analog of :class:`~pymgrid_tpu.envs.DiscreteMicrogridEnv` for RL
 training loops.
+
+``BatchedContinuousEnv`` is its continuous-action sibling (the batched
+analog of :class:`~pymgrid_tpu.envs.ContinuousMicrogridEnv`): actions are
+``(B, action_dim)`` arrays in the env's flattened normalized layout
+(sorted module names, genset rows [goal, production]); the engine
+denormalizes and dispatches exactly like the host env's
+``run(action, normalized=True)``.
 """
 import numpy as np
 
 from pymgrid_tpu.core.engine import make_reset_fn, make_step_fn
 from pymgrid_tpu.core.rollout import make_table_policy
 
-__all__ = ["BatchedDiscreteEnv"]
+__all__ = ["BatchedDiscreteEnv", "BatchedContinuousEnv"]
 
 
 class BatchedDiscreteEnv:
@@ -100,3 +107,110 @@ class BatchedDiscreteEnv:
 
         template = self.reset(seed=0)
         return restore_state(path, template=template)
+
+
+class BatchedContinuousEnv:
+    """Batched continuous-action env over the compiled engine.
+
+    ``env`` is a host :class:`~pymgrid_tpu.envs.ContinuousMicrogridEnv`;
+    its flattened normalized action layout (gym Dict spaces sort module
+    names; reference ``envs/continuous/continuous.py:7``, with the
+    documented controllable-modules deviation) defines ``action_dim``.
+    ``step(states, actions)`` takes ``(B, action_dim)`` values in [0, 1]
+    and returns ``(new_states, StepOutput)`` with observations in the
+    env's flattened order.
+    """
+
+    def __init__(self, env, batch_size=1, dtype=np.float32, mesh=None,
+                 auto_reset=True):
+        import jax
+        import jax.numpy as jnp
+        from pymgrid_tpu.core.spec import extract_spec
+
+        self.batch_size = batch_size
+        self.auto_reset = auto_reset
+        self.mesh = mesh
+        self.spec, params, _ = extract_spec(env, dtype=dtype)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.obs_dim = self.spec.obs_dim
+        spec = self.spec
+
+        # flat action segments in the env's flatten order (sorted names)
+        by_module = {(ref.name, ref.num): ref for ref in spec.controllable}
+        segments = []
+        for name, boxes in env._nested_action_space.items():
+            for num, box in enumerate(boxes):
+                ref = by_module[(name, num)]
+                segments.append((ref.kind, ref.slot, box.shape[0]))
+        self.action_dim = sum(width for _, _, width in segments)
+
+        step_fn = make_step_fn(spec, normalized=True)
+        reset_fn = make_reset_fn(spec)
+        obs_perm = jnp.asarray(spec.env_obs_permutation())
+        jdtype = jnp.dtype(spec.dtype)
+
+        def to_engine_action(flat):
+            action = {
+                "battery": jnp.zeros(spec.n_battery, jdtype),
+                "genset": jnp.zeros((spec.n_genset, 2), jdtype),
+                "grid": jnp.zeros(spec.n_grid, jdtype),
+            }
+            offset = 0
+            for kind, slot, width in segments:
+                seg = jnp.asarray(flat[offset : offset + width], jdtype)
+                if kind == "genset":
+                    action["genset"] = action["genset"].at[slot].set(seg)
+                else:
+                    action[kind] = action[kind].at[slot].set(seg[0])
+                offset += width
+            return action
+
+        def single_step(params, state, flat_action):
+            new_state, out = step_fn(params, state, to_engine_action(flat_action))
+            if self.auto_reset:
+                fresh = reset_fn(params, new_state["rng"])
+                new_state = jax.tree.map(
+                    lambda f, n: jnp.where(out.done, f, n), fresh, new_state
+                )
+            return new_state, out._replace(obs=out.obs[obs_perm])
+
+        self._state_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._state_sharding = NamedSharding(mesh, P("batch"))
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+
+        self._batch_reset = jax.jit(
+            lambda params, keys: jax.vmap(reset_fn, in_axes=(None, 0))(params, keys)
+        )
+        self._batch_step = jax.jit(
+            lambda params, states, acts: jax.vmap(
+                single_step, in_axes=(None, 0, 0)
+            )(params, states, acts)
+        )
+
+    def reset(self, seed=0):
+        """Batched initial states for B replicas."""
+        import jax
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), self.batch_size)
+        if self._state_sharding is not None:
+            keys = jax.device_put(keys, self._state_sharding)
+        return self._batch_reset(self.params, keys)
+
+    def step(self, states, actions):
+        """Step with normalized actions (B, action_dim) in [0, 1]."""
+        import jax.numpy as jnp
+
+        actions = jnp.asarray(actions)
+        if actions.shape != (self.batch_size, self.action_dim):
+            raise ValueError(
+                f"actions must have shape {(self.batch_size, self.action_dim)}, "
+                f"got {actions.shape}"
+            )
+        return self._batch_step(self.params, states, actions)
+
+    def sample_actions(self, rng):
+        """Uniform random normalized actions from a numpy RandomState."""
+        return rng.rand(self.batch_size, self.action_dim)
