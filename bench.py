@@ -38,6 +38,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _mark(msg):
+    """Stage marker on stderr: stdout stays one JSON line, but a wedged TPU
+    relay (or a slow compile) is diagnosable from the log."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def build_suite_rollout(n_configs, replicas, n_steps, dtype=np.float32):
     from pymgrid_tpu import Microgrid
     from pymgrid_tpu.core.rollout import make_marginal_cost_policy
@@ -138,20 +144,25 @@ def main():
     n_steps = int(os.environ.get("PYMGRID_BENCH_STEPS", 1000))
     repeats = int(os.environ.get("PYMGRID_BENCH_REPEATS", 3))
 
+    _mark("initializing backend (first TPU contact ~70s through the relay)")
     backend = jax.default_backend()
     n_chips = len(jax.devices())
+    _mark(f"backend={backend} devices={n_chips}")
 
     rollout, params, keys = build_suite_rollout(n_configs, replicas, n_steps)
+    _mark("suite built; compiling + warmup run")
 
     # compile + warmup (np.asarray forces execution AND the host fetch —
     # block_until_ready alone under-reports on relayed backends)
     np.asarray(rollout(params, keys))
+    _mark("warmup done; timing")
 
     best = float("inf")
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.perf_counter()
         np.asarray(rollout(params, keys))
         best = min(best, time.perf_counter() - t0)
+        _mark(f"repeat {r}: {time.perf_counter() - t0:.2f}s")
 
     total_envs = n_configs * replicas
     steps_per_sec = total_envs * n_steps / best
@@ -171,6 +182,7 @@ def main():
     }
 
     if not int(os.environ.get("PYMGRID_BENCH_SKIP_EXTRAS", 0)):
+        _mark("extras: BatchedDiscreteEnv RL path")
         result["rl_env_steps_per_sec"] = round(
             bench_rl_env_step(
                 batch_size=int(os.environ.get("PYMGRID_BENCH_RL_BATCH", 65536)),
@@ -178,6 +190,7 @@ def main():
             ),
             1,
         )
+        _mark("extras: BatchedContinuousEnv path")
         result["continuous_env_steps_per_sec"] = round(
             bench_continuous_env_step(
                 batch_size=int(os.environ.get("PYMGRID_BENCH_RL_BATCH", 65536)),
@@ -185,6 +198,7 @@ def main():
             ),
             1,
         )
+        _mark("extras: collect rollout")
         result["collect_steps_per_sec"] = round(
             bench_collect_rollout(
                 replicas=int(os.environ.get("PYMGRID_BENCH_COLLECT_REPLICAS", 512)),

@@ -229,11 +229,18 @@ class ProblemTemplate:
         """Per-step genset production (H,) from a solution vector."""
         return x[0 :: self.block]
 
-    def make_genset_refiner(self, enum_bits=5):
+    def make_genset_refiner(self, enum_bits=5, enum_chunk=8):
         """Build ``refine(c, b, h) -> (x, u, objective)`` (batched on axis 0):
         solve the LP relaxation, enumerate the ``2^k`` status patterns over
-        the ``k`` most fractional steps as one extra batched solve, and
-        return each problem's cheapest integral solution."""
+        the ``k`` most fractional steps in batched solves, and return each
+        problem's cheapest integral solution.
+
+        ``enum_chunk``: patterns are evaluated ``enum_chunk`` at a time under
+        a ``lax.scan`` with only the running best kept in the carry, so the
+        compiled program and live memory are independent of ``2^k`` — large
+        ``enum_bits`` no longer builds the oversized one-shot programs that
+        crashed the TPU worker through the relay at ``enum_bits>=5``.
+        """
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -245,6 +252,10 @@ class ProblemTemplate:
             [[(e >> k) & 1 for k in range(k_bits)] for e in range(n_combos)],
             dtype=np.float64,
         )
+        chunk = max(1, min(enum_chunk, n_combos))
+        if n_combos % chunk:
+            chunk = 1 << (chunk.bit_length() - 1)  # powers of 2 always divide
+        n_chunks = n_combos // chunk
         p_min = self.p_genset_min
         tol = 1e-7 * max(p_min, 1.0)
 
@@ -271,27 +282,111 @@ class ProblemTemplate:
             x_rel, _ = self.solver(c, b, h)
             p_rel = jax.vmap(self.genset_production)(x_rel)   # (B, H)
             u_all = jax.vmap(candidate_patterns)(p_rel)       # (B, E, H)
-            h_all = jax.vmap(
-                lambda hh, uu: jax.vmap(
-                    lambda u: self.apply_genset_pattern(hh, u)
-                )(uu)
-            )(h, u_all)                                       # (B, E, n_h)
 
-            E = n_combos
-            flat = lambda a: a.reshape((B * E,) + a.shape[2:])
-            rep = lambda a: jnp.repeat(a, E, axis=0)
-            x_flat, info = self.solver(rep(c), rep(b), flat(h_all))
-            obj = info["objective"].reshape(B, E)
-            best = jnp.argmin(obj, axis=1)
-            rows = jnp.arange(B)
-            return (
-                x_flat.reshape(B, E, -1)[rows, best],
-                u_all[rows, best],
-                obj[rows, best],
-                info["residual"].reshape(B, E)[rows, best],
+            # (n_chunks, chunk, B, H): scan axis leads
+            u_scan = jnp.moveaxis(
+                u_all.reshape(B, n_chunks, chunk, H), 0, 2
+            ).reshape(n_chunks, chunk, B, H)
+
+            rep = lambda a: jnp.tile(a, (chunk, 1))
+            c_rep, b_rep = rep(c), rep(b)
+
+            def eval_chunk(best, u_chunk):
+                # u_chunk: (chunk, B, H) -> chunk*B problems in one solve
+                h_chunk = jax.vmap(
+                    lambda uu: jax.vmap(self.apply_genset_pattern)(h, uu)
+                )(u_chunk).reshape(chunk * B, -1)
+                x, info = self.solver(c_rep, b_rep, h_chunk)
+                x = x.reshape(chunk, B, -1)
+                obj = info["objective"].reshape(chunk, B)
+                res = info["residual"].reshape(chunk, B)
+                # running best per problem
+                best_x, best_u, best_obj, best_res = best
+                idx = jnp.argmin(obj, axis=0)                  # (B,)
+                rows = jnp.arange(B)
+                cand = (x[idx, rows], u_chunk[idx, rows], obj[idx, rows],
+                        res[idx, rows])
+                better = (cand[2] < best_obj)[:, None]
+                best = (
+                    jnp.where(better, cand[0], best_x),
+                    jnp.where(better, cand[1], best_u),
+                    jnp.where(better[:, 0], cand[2], best_obj),
+                    jnp.where(better[:, 0], cand[3], best_res),
+                )
+                return best, None
+
+            best0 = (
+                jnp.zeros((B, x_rel.shape[1]), dtype),
+                jnp.zeros((B, H), dtype),
+                jnp.full((B,), jnp.inf, dtype),
+                jnp.full((B,), jnp.inf, dtype),
             )
+            best, _ = lax.scan(eval_chunk, best0, u_scan)
+            return best
 
         return refine
+
+    def rebalance_first_step(self, params, state, action, load0, pv0,
+                             grid_status0):
+        """Project the executed first-step controls onto the engine's
+        balance manifold.
+
+        The engine charges every unit of step-balance error to the balancing
+        module (loss load at 10/unit, overgeneration at 1/unit after free pv
+        curtailment), so float32 solver noise in the first-block controls
+        leaks real cost on *every* receding-horizon step.  The planner's
+        intended production-minus-consumption difference lies in
+        ``[-pv0, 0]`` (pv serves the residual for free, curtailment is
+        free); this projection clamps the noisy plan back into that band by
+        correcting grid, then genset, then battery — each within its true
+        bounds — and is a no-op (to solver tolerance) for converged float64
+        plans.
+        """
+        import jax.numpy as jnp
+
+        dtype = self.dtype
+        zero = jnp.asarray(0.0, dtype)
+
+        bat_slot = self.battery_ref.slot
+        bat = action["battery"][bat_slot]
+        genset_p = action["genset"][self.genset_refs[0].slot, 1] if self.has_genset else zero
+        genset_u = action["genset"][self.genset_refs[0].slot, 0] if self.has_genset else zero
+        grid_diff = action["grid"][self.grid_refs[0].slot] if self.grid_refs else zero
+
+        diff2 = bat + genset_p + grid_diff - load0
+        delta = jnp.clip(diff2, -pv0, zero) - diff2   # signed production fix
+
+        if self.grid_refs:
+            g = self.grid_refs[0].slot
+            lo = -params["grid"]["max_export"][g] * grid_status0
+            hi = params["grid"]["max_import"][g] * grid_status0
+            new_grid = jnp.clip(grid_diff + delta, lo, hi)
+            delta = delta - (new_grid - grid_diff)
+            action = {**action, "grid": action["grid"].at[g].set(new_grid)}
+
+        if self.has_genset:
+            g = self.genset_refs[0].slot
+            new_p = jnp.clip(
+                genset_p + delta,
+                genset_u * self.p_genset_min,
+                genset_u * self.p_genset_max,
+            )
+            delta = delta - (new_p - genset_p)
+            action = {**action, "genset": action["genset"].at[g, 1].set(new_p)}
+
+        pb = params["battery"]
+        i = bat_slot
+        charge = state["battery_charge"][i]
+        eff = pb["efficiency"][i]
+        max_prod = jnp.minimum(
+            pb["max_discharge"][i], charge - pb["min_capacity"][i]
+        ) * eff
+        max_cons = jnp.minimum(
+            pb["max_charge"][i], pb["max_capacity"][i] - charge
+        ) / eff
+        new_bat = jnp.clip(bat + delta, -max_cons, jnp.maximum(max_prod, zero))
+        action = {**action, "battery": action["battery"].at[i].set(new_bat)}
+        return action
 
     def host_solve(self, c, b, h):
         """HiGHS fallback for one problem (exact LP / genset MILP with the
@@ -342,12 +437,18 @@ class BatchedMPC:
     """
 
     def __init__(self, microgrid, batch_size=1, iters=30, dtype=np.float64,
-                 relax_genset=False, enum_bits=5, host_fallback=True,
-                 residual_tol=None):
+                 relax_genset=False, enum_bits=5, enum_chunk=8,
+                 host_fallback=True, residual_tol=None, repair_balance=True,
+                 outage_aware_repair=False):
         """``host_fallback``: when the on-chip IPM reports a primal residual
         above ``residual_tol`` for a replica, re-solve that replica's problem
         exactly with host HiGHS before acting (graceful degradation; the
-        analog of the reference's MOSEK->GLPK fallback, mpc.py:376-399)."""
+        analog of the reference's MOSEK->GLPK fallback, mpc.py:376-399).
+
+        ``repair_balance``: project the executed first-step controls onto
+        the engine's balance manifold (grid, then genset, then battery,
+        each within bounds) so float32 solver noise cannot leak loss-load /
+        overgeneration cost every step.  No-op at float64 tolerance."""
         self.batch_size = batch_size
         self.template = ProblemTemplate(
             microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset
@@ -359,6 +460,9 @@ class BatchedMPC:
         self._solver = self.template.solver
         self._dtype = self.template.dtype
         self.enum_bits = 0 if relax_genset else enum_bits
+        self.enum_chunk = enum_chunk
+        self.repair_balance = repair_balance
+        self.outage_aware_repair = outage_aware_repair
         self.host_fallback = host_fallback
         self.residual_tol = (
             residual_tol
@@ -383,10 +487,13 @@ class BatchedMPC:
         engine_step = make_step_fn(tpl.spec, normalized=False)
         use_enumeration = tpl.has_genset and self.enum_bits > 0
         refine = (
-            tpl.make_genset_refiner(enum_bits=self.enum_bits)
+            tpl.make_genset_refiner(enum_bits=self.enum_bits,
+                                    enum_chunk=self.enum_chunk)
             if use_enumeration
             else None
         )
+
+        repair = self.repair_balance
 
         def build_problem(params, state):
             t = state["step"]
@@ -401,12 +508,24 @@ class BatchedMPC:
             # modular path uses an always-up grid status over the horizon
             # (reference mpc.py:914)
             grid_status = jnp.ones(H, dtype)
-            return tpl.assemble(
+            cbh = tpl.assemble(
                 params, load_vec, pv_vec, grid, grid_status, tpl.soc_0(params, state)
             )
+            # Step-0 grid status for the balance projection.  Default: the
+            # planner's own assumption (always up, reference mpc.py:914) so
+            # the projection only removes solver noise and the controller
+            # stays comparable to the reference MPC.  ``outage_aware=True``
+            # uses the realized status instead — a documented improvement
+            # (outage steps re-dispatch to genset/battery instead of
+            # becoming loss load).
+            if self.outage_aware_repair:
+                status0 = grid["grid_status_real"][0]
+            else:
+                status0 = grid_status[0]
+            return cbh, (load_vec[0], pv_vec[0], status0)
 
         def batched_plan(params, states):
-            c, b, h = jax.vmap(lambda s: build_problem(params, s))(states)
+            (c, b, h), step0 = jax.vmap(lambda s: build_problem(params, s))(states)
             if use_enumeration:
                 x, u, obj, res = refine(c, b, h)
                 actions = jax.vmap(tpl.extract_action)(x, u)
@@ -414,6 +533,12 @@ class BatchedMPC:
             else:
                 x, info = self._solver(c, b, h)
                 actions = jax.vmap(tpl.extract_action)(x)
+            if repair:
+                actions = jax.vmap(
+                    lambda s, a, l0, p0, g0: tpl.rebalance_first_step(
+                        params, s, a, l0, p0, g0
+                    )
+                )(states, actions, *step0)
             return actions, info, (c, b, h)
 
         def batched_act(params, states, actions):

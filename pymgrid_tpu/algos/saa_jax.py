@@ -56,7 +56,7 @@ class BatchedSAA:
     def __init__(self, microgrid, n_samples=10, optimal_percentile=0.5,
                  iters=30, dtype=np.float64, relax_genset=False,
                  forecast_args=None, sampling_args=None, samples=None,
-                 preset_to_use=None, enum_bits=5):
+                 preset_to_use=None, enum_bits=5, enum_chunk=8):
         import jax
         import jax.numpy as jnp
 
@@ -68,6 +68,7 @@ class BatchedSAA:
         self.n_samples = n_samples
         self.optimal_percentile = optimal_percentile
         self.enum_bits = 0 if relax_genset else enum_bits
+        self.enum_chunk = enum_chunk
         self.template = ProblemTemplate(
             microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset
         )
@@ -148,7 +149,8 @@ class BatchedSAA:
 
         use_enumeration = tpl.has_genset and self.enum_bits > 0
         refine = (
-            tpl.make_genset_refiner(enum_bits=self.enum_bits)
+            tpl.make_genset_refiner(enum_bits=self.enum_bits,
+                                    enum_chunk=self.enum_chunk)
             if use_enumeration
             else None
         )

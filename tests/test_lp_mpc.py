@@ -239,3 +239,43 @@ def test_run_scanned_matches_stepwise():
 
     np.testing.assert_allclose(r_scan[:, 0], r_loop[:, 0], rtol=1e-12)
     np.testing.assert_allclose(r_chunked[:, 0], r_loop[:, 0], rtol=1e-12)
+
+
+def test_genset_refiner_chunking_invariant():
+    """Chunked enumeration (lax.scan over pattern chunks, running-best
+    carry) returns the same solution as one-shot enumeration."""
+    import jax.numpy as jnp
+
+    from pymgrid_tpu.algos.mpc_jax import ProblemTemplate
+
+    tpl = ProblemTemplate(pymgrid_tpu.Microgrid.from_scenario(1),
+                          dtype=np.float64)
+    refine_one = tpl.make_genset_refiner(enum_bits=4, enum_chunk=16)
+    refine_chunked = tpl.make_genset_refiner(enum_bits=4, enum_chunk=4)
+
+    from pymgrid_tpu.core.engine import make_reset_fn
+    import jax
+
+    reset_fn = jax.jit(make_reset_fn(tpl.spec))
+    state = reset_fn(tpl.params, jax.random.PRNGKey(0))
+
+    H = tpl.horizon
+    t = state["step"]
+    zero_i = jnp.zeros((), t.dtype)
+    load_vec = -jax.lax.dynamic_slice(
+        tpl.params["load"]["ts"][tpl.load_ref.slot], (t, zero_i), (H, 1)
+    )[:, 0]
+    pv_vec = jax.lax.dynamic_slice(
+        tpl.params["renewable"]["ts"][tpl.pv_ref.slot], (t, zero_i), (H, 1)
+    )[:, 0]
+    grid = tpl.grid_windows(tpl.params, t)
+    c, b, h = tpl.assemble(tpl.params, load_vec, pv_vec, grid,
+                           jnp.ones(H, np.float64), tpl.soc_0(tpl.params, state))
+    c, b, h = c[None], b[None], h[None]
+
+    x1, u1, obj1, res1 = refine_one(c, b, h)
+    x2, u2, obj2, res2 = refine_chunked(c, b, h)
+    np.testing.assert_allclose(np.asarray(obj1), np.asarray(obj2), rtol=1e-10)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-8,
+                               atol=1e-10)

@@ -189,6 +189,16 @@ def write_report(path, rows, ref_rows):
         "legacy pipeline agrees with ours on the same nonmodular conversions",
         "(table below) — the residual is data provenance, not algorithm.",
         "",
+        "**Tariff provenance experiment.**  The generator draws one of two",
+        "TOU tariffs (PG&E A-6 summer, mean 0.333/kWh, or French commercial,",
+        "mean 0.10/kWh; reference `MicrogridGenerator.py:252-284`).  The",
+        "packaged scenario-0 price series is the PG&E tariff; replacing it",
+        "with the French tariff and re-running our legacy RBC gives",
+        "**361,517** — within 4.5% of the published 378,640.91, vs +151%",
+        "under the packaged prices.  The published runs evidently drew",
+        "different tariffs (and related sizing draws) than the scenario",
+        "files that were later packaged.",
+        "",
         "Note: the reference's `to_nonmodular` leaves the load series",
         "negative (reference `convert/to_nonmodular_ops.py:80-82` copies the",
         "modular sign convention into the legacy frame), which silently",
