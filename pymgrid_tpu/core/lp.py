@@ -38,7 +38,8 @@ def ruiz_scale(K, iters=10):
     return M, d_r, d_c
 
 
-def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64, x_scale=None):
+def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64, x_scale=None,
+                            newton_refine=None):
     """Batched Mehrotra predictor-corrector interior-point LP solver.
 
     Same problem family as :func:`make_batched_lp_solver` (shared constraint
@@ -54,10 +55,20 @@ def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64, x_scale=None
     ~25-35 iterations independent of problem conditioning — unlike
     first-order methods, which is why this is the solver behind
     :class:`pymgrid_tpu.algos.mpc_jax.BatchedMPC`.
+
+    ``newton_refine``: rounds of iterative refinement on each Newton solve
+    (residual matvec + one extra pair of triangular solves, reusing the
+    Cholesky factor).  The normal equations' conditioning is what caps
+    float32 accuracy, so refinement buys ~1-2 digits on the TPU fast path at
+    a few percent per-iteration cost.  Defaults to 1 for float32, 0 for
+    float64.
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    if newton_refine is None:
+        newton_refine = 0 if np.dtype(dtype) == np.float64 else 1
 
     K_eq = np.asarray(K_eq, dtype=np.float64)
     K_in = np.asarray(K_in, dtype=np.float64)
@@ -94,6 +105,14 @@ def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64, x_scale=None
     col_scale_j = jnp.asarray(col_scale, dtype)
 
     def solve(c, b, h):
+        # TPU matmuls default to bfloat16 passes, which wrecks the normal
+        # equations (measured: +8% realized MPC cost at float32 on chip vs
+        # +0.03% on CPU with identical code).  Force true float32 matmul
+        # precision for everything traced here (incl. Cholesky internals).
+        with jax.default_matmul_precision("float32"):
+            return _solve(c, b, h)
+
+    def _solve(c, b, h):
         B = c.shape[0]
         cc = jnp.concatenate([c, jnp.zeros((B, mi), dtype)], axis=1) * col_scale_j[None, :]
         bb = jnp.concatenate([b, h], axis=1) * row_scale_j[None, :]
@@ -137,14 +156,20 @@ def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64, x_scale=None
             M = M + 1e-11 * scale[:, :, None] * eye[None, :, :]
             L = jnp.linalg.cholesky(M)
 
-            def solve_newton(r_xz):
-                rhs = -r_b + ((r_xz - x * r_c) / z) @ AT
+            def chol_solve(rhs):
                 w = jax.scipy.linalg.solve_triangular(
                     L, rhs[..., None], lower=True
                 )
-                dy = jax.scipy.linalg.solve_triangular(
+                return jax.scipy.linalg.solve_triangular(
                     jnp.swapaxes(L, -1, -2), w, lower=False
                 )[..., 0]
+
+            def solve_newton(r_xz):
+                rhs = -r_b + ((r_xz - x * r_c) / z) @ AT
+                dy = chol_solve(rhs)
+                for _ in range(newton_refine):
+                    resid = rhs - jnp.einsum("bmk,bk->bm", M, dy)
+                    dy = dy + chol_solve(resid)
                 dz = -r_c - dy @ A
                 dx = -(r_xz + x * dz) / z
                 return dx, dy, dz
@@ -247,6 +272,10 @@ def make_batched_lp_solver(K_eq, K_in, iters=8000, restart_every=200,
     n_restarts = max(iters // restart_every, 1)
 
     def solve(c, b, h):
+        with jax.default_matmul_precision("float32"):  # see IPM note above
+            return _solve(c, b, h)
+
+    def _solve(c, b, h):
         B = c.shape[0]
         # scale the problem: x = D_c x', rows scaled by D_r
         c_s = c * d_c_j[None, :]

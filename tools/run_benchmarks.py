@@ -34,8 +34,10 @@ def main():
     parser.add_argument("--saa-samples", type=int, default=10)
     parser.add_argument("--saa-percentile", type=float, default=0.5)
     parser.add_argument("--saa-presets", default="85,70,50")
-    parser.add_argument("--enum-bits", type=int, default=3,
+    parser.add_argument("--enum-bits", type=int, default=5,
                         help="genset MILP enumeration bits for on-chip runs")
+    parser.add_argument("--enum-chunk", type=int, default=16,
+                        help="patterns per enumeration solve (lax.scan chunk)")
     parser.add_argument("--mpc-chip", action="store_true",
                         help="regenerate the full-year MPC table ON CHIP "
                              "(BatchedMPC, one lax.scan per scenario) -> "
@@ -328,7 +330,8 @@ def run_saa(args):
             saa = BatchedSAA(mg, n_samples=args.saa_samples,
                              optimal_percentile=pct,
                              preset_to_use=preset, dtype=np.float32,
-                             enum_bits=args.enum_bits)
+                             enum_bits=args.enum_bits,
+                             enum_chunk=args.enum_chunk)
             rewards, _ = saa.run_scanned()
             cost, dt = float(-rewards.sum()), time.time() - t0
             rows[n][preset] = (cost, len(rewards), dt)
@@ -391,7 +394,7 @@ def run_mpc_chip(args):
         n_steps = int(mg.final_step) - int(mg.initial_step)
         t0 = time.time()
         bm = BatchedMPC(mg, batch_size=1, dtype=np.float32, host_fallback=False,
-                        enum_bits=args.enum_bits)
+                        enum_bits=args.enum_bits, enum_chunk=args.enum_chunk)
         # chunked: the relay kills device executions beyond ~2 minutes
         # (surfaces as "TPU worker crashed"), so keep each scan segment short
         chunk = 500 if bm.template.has_genset else 4000
