@@ -86,3 +86,24 @@ def test_collect_rollout_materializes_full_stepoutput(bench):
     fn_fast = runner.rollout_fn(policy, n_steps, auto_reset=True, collect=False)
     acc_fast = fn_fast(runner.params, runner.make_keys(seed=0))
     np.testing.assert_array_equal(np.asarray(acc), np.asarray(acc_fast))
+
+
+def test_chip_report_writer_computes_measured_deltas(tmp_path):
+    """RESULTS_CHIP.md generation (tools/run_benchmarks._write_chip_report):
+    host-table parsing, per-scenario delta columns, and the measured summary
+    line all run on canned rows without touching a solver."""
+    path = os.path.join(REPO_ROOT, "tools", "run_benchmarks.py")
+    spec = importlib.util.spec_from_file_location("run_benchmarks_ut", path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+
+    out = tmp_path / "chip.md"
+    rows = [(0, 1_039_882.62, 8759, 112.9), (3, 101_810_000.0, 8759, 170.5)]
+    module._write_chip_report(rows, enum_bits=5, out=out)
+
+    text = out.read_text()
+    assert "enum_bits=5" in text
+    assert "Measured this run" in text
+    # scenario 0 host cost comes from RESULTS.md; delta must be computed
+    assert "1,033,040.53" in text and "+0.66%" in text
+    assert text.strip().splitlines()[-1].startswith("| **total** |")

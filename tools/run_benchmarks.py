@@ -404,24 +404,70 @@ def run_mpc_chip(args):
         print(f"scenario {n}: chip-MPC {cost:,.2f} ({n_steps} steps, {dt:.1f}s)",
               flush=True)
 
-    out = REPO / "RESULTS_CHIP.md"
-    lines = [
-        "# RESULTS — on-chip MPC full-year costs (TPU, float32)",
+    _write_chip_report(rows, args.enum_bits)
+
+
+def _write_chip_report(rows, enum_bits, out=None):
+    """Write RESULTS_CHIP.md from (scenario, cost, steps, dt) rows, with
+    measured deltas against the host f64 table (exercised on CPU by
+    tests/test_bench_smoke.py)."""
+    # host f64 HiGHS MPC costs (same formulation) for the measured-delta
+    # columns; parsed from RESULTS.md rather than restated by hand
+    host_costs = {}
+    results_md = REPO / "RESULTS.md"
+    if results_md.exists():
+        for line in results_md.read_text().splitlines():
+            m = re.match(
+                r"\|\s*(\d+)\s*\|\s*[\d,.]+\s*\|\s*[\d.]+\s*\|"
+                r"\s*([\d,.]+)\s*\|", line)
+            if m:
+                host_costs[int(m.group(1))] = float(m.group(2).replace(",", ""))
+
+    deltas = {n: cost / host_costs[n] - 1.0
+              for n, cost, _, _ in rows if n in host_costs}
+    out = out or REPO / "RESULTS_CHIP.md"
+    header = [
+        "# RESULTS — on-chip MPC full-year costs (TPU, float32, "
+        f"enum_bits={enum_bits})",
         "",
         "BatchedMPC: the horizon problem (LP; genset scenarios a MILP via",
         "on-chip LP-relaxation + batched status-pattern enumeration) solves on",
         "the TPU and the first-step control feeds the compiled engine — the",
-        "whole year is ONE lax.scan program per scenario.  Compare the",
+        "year runs as chunked lax.scan segments per scenario.  Compare the",
         "wall-clock to the host HiGHS pipeline's 45-445 s/scenario",
-        "(RESULTS.md); f32 totals track the f64 host table to ~1e-3 relative",
-        "(f64 parity is gated at 1e-4 in tests/test_lp_mpc.py).",
+        "(RESULTS.md).  The Δ column is measured against the float64 host",
+        "HiGHS table (RESULTS.md, same formulation; f64 on-chip parity is",
+        "separately gated at 1e-4 in tests/test_lp_mpc.py).",
+    ]
+    if deltas:
+        total_chip = sum(cost for n, cost, _, _ in rows if n in host_costs)
+        total_host = sum(host_costs[n] for n, *_ in rows if n in host_costs)
+        sorted_d = sorted(abs(d) for d in deltas.values())
+        median_d = sorted_d[len(sorted_d) // 2]
+        worst_n, worst_d = max(deltas.items(), key=lambda kv: abs(kv[1]))
+        header += [
+            "",
+            f"Measured this run: total {total_chip:,.1f} vs host "
+            f"{total_host:,.1f} (**{total_chip / total_host - 1.0:+.2%}**); "
+            f"median per-scenario |Δ| {median_d:.2%}; worst scenario "
+            f"{worst_n} at {worst_d:+.2%}.",
+        ]
+    lines = header + [
         "",
-        "| scenario | chip MPC cost | steps | s |",
-        "|---|---|---|---|",
+        "| scenario | chip MPC cost | host f64 MPC | Δ | steps | s |",
+        "|---|---|---|---|---|---|",
     ]
     for n, cost, steps, dt in rows:
-        lines.append(f"| {n} | {cost:,.2f} | {steps} | {dt:.1f} |")
-    lines.append(f"| **total** | **{sum(r[1] for r in rows):,.2f}** | | |")
+        host = f"{host_costs[n]:,.2f}" if n in host_costs else "—"
+        d = f"{deltas[n]:+.2%}" if n in deltas else "—"
+        lines.append(f"| {n} | {cost:,.2f} | {host} | {d} | {steps} | {dt:.1f} |")
+    total_line = f"| **total** | **{sum(r[1] for r in rows):,.2f}** |"
+    if deltas:
+        total_line += (f" **{total_host:,.2f}** | "
+                       f"**{total_chip / total_host - 1.0:+.2%}** | | |")
+    else:
+        total_line += " | | | |"
+    lines.append(total_line)
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}")
 
