@@ -85,6 +85,32 @@ def bench_rl_env_step(batch_size=65536, n_steps=100, dtype=np.float32, seed=0):
     return batch_size * n_steps / wall
 
 
+def bench_rl_fused_rollout(batch_size=65536, n_steps=100, dtype=np.float32,
+                           seed=0):
+    """Same work as bench_rl_env_step but via BatchedDiscreteEnv.rollout:
+    the whole action sequence runs as ONE device program (lax.scan), so the
+    number reflects engine throughput instead of per-step dispatch latency
+    (which dominates the python step() loop on a relayed TPU)."""
+    from pymgrid_tpu import Microgrid
+    from pymgrid_tpu.envs import DiscreteMicrogridEnv
+    from pymgrid_tpu.parallel.batched_env import BatchedDiscreteEnv
+
+    env = DiscreteMicrogridEnv.from_scenario(0)
+    batched = BatchedDiscreteEnv(env, batch_size=batch_size, dtype=dtype)
+    rng = np.random.RandomState(seed)
+    action_seq = rng.randint(batched.n_actions, size=(n_steps, batch_size))
+
+    states = batched.reset(seed=seed)
+    _, outs = batched.rollout(states, action_seq)  # compile
+    np.asarray(outs.reward)
+
+    t0 = time.perf_counter()
+    _, outs = batched.rollout(states, action_seq)
+    np.asarray(outs.reward)
+    wall = time.perf_counter() - t0
+    return batch_size * n_steps / wall
+
+
 def bench_continuous_env_step(batch_size=65536, n_steps=100, dtype=np.float32,
                               seed=0):
     """Continuous RL path: BatchedContinuousEnv.step with obs returned."""
@@ -185,6 +211,14 @@ def main():
         _mark("extras: BatchedDiscreteEnv RL path")
         result["rl_env_steps_per_sec"] = round(
             bench_rl_env_step(
+                batch_size=int(os.environ.get("PYMGRID_BENCH_RL_BATCH", 65536)),
+                n_steps=int(os.environ.get("PYMGRID_BENCH_RL_STEPS", 100)),
+            ),
+            1,
+        )
+        _mark("extras: fused BatchedDiscreteEnv rollout")
+        result["rl_fused_steps_per_sec"] = round(
+            bench_rl_fused_rollout(
                 batch_size=int(os.environ.get("PYMGRID_BENCH_RL_BATCH", 65536)),
                 n_steps=int(os.environ.get("PYMGRID_BENCH_RL_STEPS", 100)),
             ),

@@ -24,6 +24,38 @@ from pymgrid_tpu.core.rollout import make_table_policy
 __all__ = ["BatchedDiscreteEnv", "BatchedContinuousEnv"]
 
 
+def _fused_rollout(env, states, action_seq, keep_logs):
+    """Run a whole action sequence as ONE device program.
+
+    ``lax.scan`` over time, ``vmap`` over replicas: a python ``step()``
+    loop dispatches one device call per step (latency-bound on a relayed
+    TPU), while this path compiles the full T-step rollout into a single
+    execution.  Log rows are dropped from the stacked output unless
+    requested — T·B rows of ~n_log_fields each would otherwise dominate
+    HBM for long rollouts.
+    """
+    import jax
+    from jax import lax
+
+    key = bool(keep_logs)
+    fn = env._rollout_cache.get(key)
+    if fn is None:
+        batch_step = jax.vmap(env._single_step, in_axes=(None, 0, 0))
+
+        def run(params, states, seq):
+            def body(states, a):
+                states, out = batch_step(params, states, a)
+                if not keep_logs:
+                    out = out._replace(log_row=None)
+                return states, out
+
+            return lax.scan(body, states, seq)
+
+        fn = jax.jit(run)
+        env._rollout_cache[key] = fn
+    return fn(env.params, states, action_seq)
+
+
 class BatchedDiscreteEnv:
     def __init__(self, env, batch_size=1, dtype=np.float32, mesh=None,
                  auto_reset=True):
@@ -67,6 +99,8 @@ class BatchedDiscreteEnv:
             self._state_sharding = NamedSharding(mesh, P("batch"))
             self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
 
+        self._single_step = single_step
+        self._rollout_cache = {}
         self._batch_reset = jax.jit(
             lambda params, keys: jax.vmap(reset_fn, in_axes=(None, 0))(params, keys)
         )
@@ -75,6 +109,22 @@ class BatchedDiscreteEnv:
                 single_step, in_axes=(None, 0, 0)
             )(params, states, idxs)
         )
+
+    def rollout(self, states, action_seq, keep_logs=False):
+        """Fused T-step rollout: ``action_seq`` is ``(T, B)`` integer
+        actions; returns ``(final_states, outs)`` with ``outs`` a
+        time-major stacked StepOutput (``log_row`` is ``None`` unless
+        ``keep_logs``).  Equivalent to T ``step()`` calls but compiled as
+        one program — see :func:`_fused_rollout`."""
+        import jax.numpy as jnp
+
+        action_seq = jnp.asarray(action_seq, jnp.int32)
+        if action_seq.ndim != 2 or action_seq.shape[1] != self.batch_size:
+            raise ValueError(
+                f"action_seq must have shape (T, {self.batch_size}), "
+                f"got {action_seq.shape}"
+            )
+        return _fused_rollout(self, states, action_seq, keep_logs)
 
     def reset(self, seed=0):
         """Returns (states, obs) for B replicas."""
@@ -181,6 +231,8 @@ class BatchedContinuousEnv:
             self._state_sharding = NamedSharding(mesh, P("batch"))
             self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
 
+        self._single_step = single_step
+        self._rollout_cache = {}
         self._batch_reset = jax.jit(
             lambda params, keys: jax.vmap(reset_fn, in_axes=(None, 0))(params, keys)
         )
@@ -189,6 +241,23 @@ class BatchedContinuousEnv:
                 single_step, in_axes=(None, 0, 0)
             )(params, states, acts)
         )
+
+    def rollout(self, states, action_seq, keep_logs=False):
+        """Fused T-step rollout: ``action_seq`` is ``(T, B, action_dim)``
+        normalized actions; returns ``(final_states, outs)`` with ``outs``
+        a time-major stacked StepOutput (``log_row`` is ``None`` unless
+        ``keep_logs``).  Equivalent to T ``step()`` calls but compiled as
+        one program — see :func:`_fused_rollout`."""
+        import jax.numpy as jnp
+
+        action_seq = jnp.asarray(action_seq)
+        expect = (self.batch_size, self.action_dim)
+        if action_seq.ndim != 3 or action_seq.shape[1:] != expect:
+            raise ValueError(
+                f"action_seq must have shape (T, {self.batch_size}, "
+                f"{self.action_dim}), got {action_seq.shape}"
+            )
+        return _fused_rollout(self, states, action_seq, keep_logs)
 
     def reset(self, seed=0):
         """Batched initial states for B replicas."""

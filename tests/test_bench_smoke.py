@@ -52,7 +52,8 @@ def test_main_prints_complete_json(bench, capsys):
     assert result["metric"] == "batched_env_steps_per_sec_per_chip_pymgrid25_suite"
     assert result["unit"] == "env_steps/s/chip"
     for field in ("value", "vs_baseline", "rl_env_steps_per_sec",
-                  "continuous_env_steps_per_sec", "collect_steps_per_sec"):
+                  "rl_fused_steps_per_sec", "continuous_env_steps_per_sec",
+                  "collect_steps_per_sec"):
         assert result[field] > 0, field
     assert result["n_configs"] == 2
     assert result["total_envs"] == 8

@@ -215,3 +215,76 @@ def test_batched_continuous_env_genset_goal():
         act[0, genset_off] = goal
         states, _ = batched.step(states, act)
         assert int(states["genset"]["current_status"][0, 0]) == expect
+
+
+def test_fused_rollout_matches_step_loop_discrete():
+    """BatchedDiscreteEnv.rollout (one lax.scan program) is bitwise-equal to
+    the python step() loop, and keep_logs returns the stacked log rows."""
+    from pymgrid_tpu.envs import DiscreteMicrogridEnv
+
+    params = module_params(seed=49)
+    mods, _ = build_microgrid(M, params)
+    env = DiscreteMicrogridEnv(mods)
+    batched = BatchedDiscreteEnv(env, batch_size=3, dtype=np.float64)
+
+    rng = np.random.RandomState(7)
+    action_seq = rng.randint(batched.n_actions, size=(11, 3))
+
+    states = batched.reset(seed=0)
+    loop_states = states
+    loop_outs = []
+    for a in action_seq:
+        loop_states, out = batched.step(loop_states, a)
+        loop_outs.append(out)
+
+    fused_states, outs = batched.rollout(batched.reset(seed=0), action_seq)
+    assert outs.log_row is None
+    for t, out in enumerate(loop_outs):
+        np.testing.assert_array_equal(np.asarray(outs.obs[t]), np.asarray(out.obs))
+        np.testing.assert_array_equal(
+            np.asarray(outs.reward[t]), np.asarray(out.reward)
+        )
+        np.testing.assert_array_equal(np.asarray(outs.done[t]), np.asarray(out.done))
+    import jax
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        fused_states,
+        loop_states,
+    )
+
+    _, outs_logged = batched.rollout(batched.reset(seed=0), action_seq,
+                                     keep_logs=True)
+    assert outs_logged.log_row.shape[:2] == (11, 3)
+    np.testing.assert_array_equal(
+        np.asarray(outs_logged.log_row[-1]), np.asarray(loop_outs[-1].log_row)
+    )
+
+    with pytest.raises(ValueError):
+        batched.rollout(batched.reset(seed=0), action_seq[:, :2])
+
+
+def test_fused_rollout_matches_step_loop_continuous():
+    """BatchedContinuousEnv.rollout equals the python step() loop bitwise."""
+    from pymgrid_tpu.envs import ContinuousMicrogridEnv
+    from pymgrid_tpu.parallel import BatchedContinuousEnv
+
+    params = module_params(seed=50)
+    mods, _ = build_microgrid(M, params)
+    env = ContinuousMicrogridEnv(mods)
+    batched = BatchedContinuousEnv(env, batch_size=2, dtype=np.float64)
+
+    rng = np.random.RandomState(11)
+    action_seq = rng.rand(9, 2, batched.action_dim)
+
+    loop_states = batched.reset(seed=0)
+    rewards = []
+    for a in action_seq:
+        loop_states, out = batched.step(loop_states, a)
+        rewards.append(np.asarray(out.reward))
+
+    _, outs = batched.rollout(batched.reset(seed=0), action_seq)
+    np.testing.assert_array_equal(np.asarray(outs.reward), np.stack(rewards))
+
+    with pytest.raises(ValueError):
+        batched.rollout(batched.reset(seed=0), action_seq[0])
