@@ -58,7 +58,8 @@ class ProblemTemplate:
     pattern.
     """
 
-    def __init__(self, microgrid, iters=30, dtype=np.float64, relax_genset=False):
+    def __init__(self, microgrid, iters=30, dtype=np.float64, relax_genset=False,
+                 matmul_precision="float32"):
         import jax
         import jax.numpy as jnp
         from scipy import sparse
@@ -93,9 +94,11 @@ class ProblemTemplate:
                 min_rows[j, j * nb] = -1.0
             K_in = np.concatenate([K_in, np.asarray(min_rows.todense())], axis=0)
         self.n_in_rows = K_in.shape[0]
+        self.matmul_precision = matmul_precision
         self.solver = make_batched_ipm_solver(
             K_eq, K_in, iters=iters, dtype=dtype,
             x_scale=self._variable_scales(microgrid),
+            matmul_precision=matmul_precision,
         )
 
         self.load_ref = next(m for m in self.spec.fixed if m.kind == "load")
@@ -439,7 +442,7 @@ class BatchedMPC:
     def __init__(self, microgrid, batch_size=1, iters=30, dtype=np.float64,
                  relax_genset=False, enum_bits=5, enum_chunk=8,
                  host_fallback=True, residual_tol=None, repair_balance=True,
-                 outage_aware_repair=False):
+                 outage_aware_repair=False, matmul_precision="float32"):
         """``host_fallback``: when the on-chip IPM reports a primal residual
         above ``residual_tol`` for a replica, re-solve that replica's problem
         exactly with host HiGHS before acting (graceful degradation; the
@@ -451,7 +454,8 @@ class BatchedMPC:
         overgeneration cost every step.  No-op at float64 tolerance."""
         self.batch_size = batch_size
         self.template = ProblemTemplate(
-            microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset
+            microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset,
+            matmul_precision=matmul_precision,
         )
         self._host_mpc = self.template.host_mpc
         self.spec = self.template.spec

@@ -39,7 +39,7 @@ def ruiz_scale(K, iters=10):
 
 
 def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64, x_scale=None,
-                            newton_refine=None):
+                            newton_refine=None, matmul_precision="float32"):
     """Batched Mehrotra predictor-corrector interior-point LP solver.
 
     Same problem family as :func:`make_batched_lp_solver` (shared constraint
@@ -62,6 +62,12 @@ def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64, x_scale=None
     float32 accuracy, so refinement buys ~1-2 digits on the TPU fast path at
     a few percent per-iteration cost.  Defaults to 1 for float32, 0 for
     float64.
+
+    ``matmul_precision``: TPU MXU pass count for every matmul traced here.
+    ``"float32"`` (6-pass, default) is the accuracy anchor — bfloat16
+    single-pass wrecks the normal equations (measured +8% realized MPC cost
+    on chip).  ``"tensorfloat32"`` (3-pass bf16) halves the MXU work; pair
+    it with ``newton_refine>=2`` when trading speed for the last digit.
     """
     import jax
     import jax.numpy as jnp
@@ -107,9 +113,9 @@ def make_batched_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64, x_scale=None
     def solve(c, b, h):
         # TPU matmuls default to bfloat16 passes, which wrecks the normal
         # equations (measured: +8% realized MPC cost at float32 on chip vs
-        # +0.03% on CPU with identical code).  Force true float32 matmul
+        # +0.03% on CPU with identical code).  Force true multi-pass matmul
         # precision for everything traced here (incl. Cholesky internals).
-        with jax.default_matmul_precision("float32"):
+        with jax.default_matmul_precision(matmul_precision):
             return _solve(c, b, h)
 
     def _solve(c, b, h):

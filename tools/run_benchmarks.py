@@ -38,6 +38,17 @@ def main():
                         help="genset MILP enumeration bits for on-chip runs")
     parser.add_argument("--enum-chunk", type=int, default=16,
                         help="patterns per enumeration solve (lax.scan chunk)")
+    parser.add_argument("--matmul-precision", default="float32",
+                        choices=["bfloat16", "tensorfloat32", "float32"],
+                        help="TPU MXU pass count in the on-chip LP solves")
+    parser.add_argument("--scan-chunk", type=int, default=None,
+                        help="engine-steps per device execution (default: "
+                             "4000 grid-only, 500 genset, halved per "
+                             "enum_bits above 3)")
+    parser.add_argument("--resume", action="store_true",
+                        help="chip modes: skip scenarios already recorded in "
+                             "the incremental sidecar (survives TPU worker "
+                             "crashes)")
     parser.add_argument("--mpc-chip", action="store_true",
                         help="regenerate the full-year MPC table ON CHIP "
                              "(BatchedMPC, one lax.scan per scenario) -> "
@@ -388,23 +399,53 @@ def run_mpc_chip(args):
         else list(range(25))
     )
 
+    def mark(msg):
+        # stage markers: construction/compile phases are minutes-long and
+        # otherwise silent, which is indistinguishable from a wedged relay
+        print(f"[chip {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
+    import json
+
+    sidecar = REPO / "RESULTS_CHIP.partial.json"
+    done = {}
+    if args.resume and sidecar.exists():
+        done = {int(k): v for k, v in json.loads(sidecar.read_text()).items()}
+        mark(f"resuming: {sorted(done)} already recorded")
+
     rows = []
     for n in scenarios:
+        if n in done:
+            rows.append(tuple(done[n]))
+            continue
         mg = Microgrid.from_scenario(n)
         n_steps = int(mg.final_step) - int(mg.initial_step)
         t0 = time.time()
+        mark(f"scenario {n}: building BatchedMPC template")
         bm = BatchedMPC(mg, batch_size=1, dtype=np.float32, host_fallback=False,
-                        enum_bits=args.enum_bits, enum_chunk=args.enum_chunk)
+                        enum_bits=args.enum_bits, enum_chunk=args.enum_chunk,
+                        matmul_precision=args.matmul_precision)
         # chunked: the relay kills device executions beyond ~2 minutes
-        # (surfaces as "TPU worker crashed"), so keep each scan segment short
-        chunk = 500 if bm.template.has_genset else 4000
+        # (surfaces as "TPU worker crashed"), so keep each scan segment short;
+        # enumeration multiplies per-step work, so shrink with enum_bits
+        if args.scan_chunk is not None:
+            chunk = args.scan_chunk
+        elif bm.template.has_genset:
+            chunk = max(100, 500 >> max(0, args.enum_bits - 3))
+        else:
+            chunk = 4000
+        mark(f"scenario {n}: compiling + scanning year "
+             f"({n_steps} steps, chunk {chunk})")
         rewards, _ = bm.run_scanned(n_steps, chunk=chunk)
         cost, dt = float(-rewards[:, 0].sum()), time.time() - t0
         rows.append((n, cost, n_steps, dt))
+        done[n] = [n, cost, n_steps, dt]
+        sidecar.write_text(json.dumps({str(k): v for k, v in done.items()}))
         print(f"scenario {n}: chip-MPC {cost:,.2f} ({n_steps} steps, {dt:.1f}s)",
               flush=True)
 
     _write_chip_report(rows, args.enum_bits)
+    sidecar.unlink(missing_ok=True)  # table written; crash insurance done
 
 
 def _write_chip_report(rows, enum_bits, out=None):
