@@ -56,7 +56,8 @@ class BatchedSAA:
     def __init__(self, microgrid, n_samples=10, optimal_percentile=0.5,
                  iters=30, dtype=np.float64, relax_genset=False,
                  forecast_args=None, sampling_args=None, samples=None,
-                 preset_to_use=None, enum_bits=5, enum_chunk=8):
+                 preset_to_use=None, enum_bits=5, enum_chunk=8,
+                 matmul_precision="float32"):
         import jax
         import jax.numpy as jnp
 
@@ -70,7 +71,8 @@ class BatchedSAA:
         self.enum_bits = 0 if relax_genset else enum_bits
         self.enum_chunk = enum_chunk
         self.template = ProblemTemplate(
-            microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset
+            microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset,
+            matmul_precision=matmul_precision,
         )
         self.spec = self.template.spec
         self.params = self.template.params

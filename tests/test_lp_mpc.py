@@ -279,3 +279,21 @@ def test_genset_refiner_chunking_invariant():
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-8,
                                atol=1e-10)
+
+
+def test_ipm_matmul_precision_variants():
+    """The matmul_precision knob (TPU MXU pass count) is accepted and, on
+    CPU (where every precision lowers to the same f32/f64 math), solves to
+    the same tolerance as the float32 default."""
+    K_eq, K_in, c, b, h = _random_lps()
+    for prec in ("tensorfloat32", "bfloat16"):
+        solver = make_batched_ipm_solver(
+            K_eq, K_in, iters=30, dtype=np.float64, matmul_precision=prec
+        )
+        x, info = solver(c, b, h)
+        ref = linprog(
+            c[0], A_ub=K_in, b_ub=h[0], A_eq=K_eq, b_eq=b[0],
+            bounds=(0, None), method="highs",
+        )
+        rel = abs(float(info["objective"][0]) - ref.fun) / max(1.0, abs(ref.fun))
+        assert rel < 1e-5, f"{prec}: rel={rel}"

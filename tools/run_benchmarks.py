@@ -332,20 +332,41 @@ def run_saa(args):
     presets = [int(p) for p in args.saa_presets.split(",")]
     pct = args.saa_percentile
 
+    import json
+
+    def mark(msg):
+        print(f"[saa {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
+    sidecar = REPO / "RESULTS_SAA.partial.json"
+    done = {}
+    if args.resume and sidecar.exists():
+        done = json.loads(sidecar.read_text())
+        mark(f"resuming: {sorted(done)} already recorded")
+
     rows = {n: {} for n in scenarios}
     for preset in presets:
         for n in scenarios:
+            key = f"{n}:{preset}"
+            if key in done:
+                rows[n][preset] = tuple(done[key])
+                continue
             np.random.seed(1000 + n)  # sampler RNG, reproducible per scenario
             mg = Microgrid.from_scenario(n)
             t0 = time.time()
+            mark(f"scenario {n} preset {preset}: building BatchedSAA")
             saa = BatchedSAA(mg, n_samples=args.saa_samples,
                              optimal_percentile=pct,
                              preset_to_use=preset, dtype=np.float32,
                              enum_bits=args.enum_bits,
-                             enum_chunk=args.enum_chunk)
+                             enum_chunk=args.enum_chunk,
+                             matmul_precision=args.matmul_precision)
+            mark(f"scenario {n} preset {preset}: compiling + scanning year")
             rewards, _ = saa.run_scanned()
             cost, dt = float(-rewards.sum()), time.time() - t0
             rows[n][preset] = (cost, len(rewards), dt)
+            done[key] = [cost, len(rewards), dt]
+            sidecar.write_text(json.dumps(done))
             print(f"scenario {n}: SAA-{preset} {cost:,.2f} "
                   f"({len(rewards)} steps, {dt:.1f}s)", flush=True)
 
