@@ -187,7 +187,15 @@ def main():
     parser.add_argument("--rollout-len", type=int, default=64)
     parser.add_argument("--iters", type=int, default=40)
     parser.add_argument("--mesh", action="store_true", help="shard over all devices")
+    parser.add_argument("--cpu", action="store_true",
+                        help="pin the CPU backend (safe to run while another "
+                             "process holds the TPU relay)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     mesh = None
     if args.mesh:

@@ -530,6 +530,12 @@ def _write_chip_report(rows, enum_bits, out=None):
     else:
         total_line += " | | | |"
     lines.append(total_line)
+    # keep any hand-written analysis section across regenerations
+    if out.exists():
+        m = re.search(r"^## Quality analysis.*", out.read_text(),
+                      re.S | re.M)
+        if m:
+            lines += ["", m.group(0).rstrip()]
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}")
 
