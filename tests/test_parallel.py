@@ -288,3 +288,21 @@ def test_fused_rollout_matches_step_loop_continuous():
 
     with pytest.raises(ValueError):
         batched.rollout(batched.reset(seed=0), action_seq[0])
+
+
+def test_fused_rollout_keep_obs_false_drops_obs_only():
+    """keep_obs=False drops the stacked observations (rewards unchanged) —
+    the evaluation fast path where XLA eliminates obs construction."""
+    from pymgrid_tpu.envs import DiscreteMicrogridEnv
+
+    params = module_params(seed=51)
+    mods, _ = build_microgrid(M, params)
+    env = DiscreteMicrogridEnv(mods)
+    batched = BatchedDiscreteEnv(env, batch_size=2, dtype=np.float64)
+    acts = np.random.RandomState(5).randint(batched.n_actions, size=(7, 2))
+
+    _, full = batched.rollout(batched.reset(seed=0), acts)
+    _, lean = batched.rollout(batched.reset(seed=0), acts, keep_obs=False)
+    assert lean.obs is None and lean.log_row is None
+    np.testing.assert_array_equal(np.asarray(lean.reward), np.asarray(full.reward))
+    np.testing.assert_array_equal(np.asarray(lean.done), np.asarray(full.done))
