@@ -30,8 +30,9 @@ import numpy as np
 
 from pymgrid_tpu.core import physics
 from pymgrid_tpu.core.numpy_sum import numpy_sum_compat
+from pymgrid_tpu.core.tables import obs_table_layout, row_table_layout, tabulable
 
-__all__ = ["StepOutput", "make_step_fn", "make_reset_fn"]
+__all__ = ["StepOutput", "make_step_fn", "make_reset_fn", "ts_obs_part"]
 
 
 class StepOutput(NamedTuple):
@@ -157,18 +158,47 @@ def _realized_forecast(spec, params, state, ref, t):
     """Forecast window for ``ref`` valid at current step ``t``.
 
     Oracle windows are recomputed as dynamic slices of the HBM-resident
-    series (cheaper than carrying per-replica state); gaussian realizations
-    ride in ``state['forecast']`` so the value logged at step t is the one
-    observed at the end of step t-1.
+    series (cheaper than carrying per-replica state); precomputed-numpy
+    gaussian realizations are pure functions of ``t`` (read from the noise
+    bank); jax-PRNG gaussian realizations ride in ``state['forecast']`` so
+    the value logged at step t is the one observed at the end of step t-1.
     """
     if ref.forecast_horizon == 0:
         return None
     if ref.forecaster == "gaussian":
+        if spec.numpy_noise:
+            return _numpy_noise_window(spec, params, ref, t)
         gslot = [m.slot for m in _gaussian_refs(spec, ref.kind)].index(ref.slot)
         return state["forecast"][ref.kind][gslot][: ref.forecast_horizon]
     if ref.forecaster == "user":
         return _user_window(spec, params, ref, t)
     return _oracle_window(spec, params, ref, t)
+
+
+def _numpy_noise_window(spec, params, ref, t):
+    """Gaussian forecast window from the precomputed numpy-RNG noise bank
+    (bitwise host parity) — deterministic in ``t``, so it needs no carried
+    state and tabulates (:mod:`pymgrid_tpu.core.tables`)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    dtype = jnp.dtype(spec.dtype)
+    h, f = ref.forecast_horizon, ref.n_features
+    gslot = [m.slot for m in _gaussian_refs(spec, ref.kind)].index(ref.slot)
+    window = _oracle_window(spec, params, ref, t)
+    noise = lax.dynamic_slice(
+        params[ref.kind]["np_noise"][gslot],
+        (t, jnp.int32(0), jnp.int32(0)),
+        (1, h, f),
+    )[0].astype(dtype)
+    n_real = jnp.clip(ref.ts_length - 1 - t, 0, h)
+    mask = (jnp.arange(h) < n_real)[:, None]
+    window = window + noise * mask
+    return jnp.clip(
+        window,
+        params[ref.kind]["obs_low"][ref.slot],
+        params[ref.kind]["obs_high"][ref.slot],
+    )
 
 
 def _user_window(spec, params, ref, t):
@@ -203,12 +233,15 @@ def _user_window(spec, params, ref, t):
 
 
 def _forecasts_at(spec, params, t, key):
-    """Realized *gaussian* forecast state {kind: (n_gauss, max_h, f)} for
-    current step ``t``.  Deterministic forecasters carry no state."""
+    """Realized *jax-PRNG gaussian* forecast state {kind: (n_gauss, max_h, f)}
+    for current step ``t``.  Deterministic forecasters (and numpy-noise-bank
+    gaussians, which are pure functions of ``t``) carry no state."""
     import jax
     import jax.numpy as jnp
 
     dtype = jnp.dtype(spec.dtype)
+    if spec.numpy_noise:
+        return {}
     out = {}
     for kind in ("load", "renewable", "grid"):
         refs = _gaussian_refs(spec, kind)
@@ -220,20 +253,9 @@ def _forecasts_at(spec, params, t, key):
         for gslot, ref in enumerate(refs):
             h = ref.forecast_horizon
             window = _oracle_window(spec, params, ref, t)
-            if spec.numpy_noise:
-                # precomputed numpy-RNG stream (bitwise host parity); rows
-                # beyond the data end are zeros (masked below anyway)
-                from jax import lax
-
-                noise = lax.dynamic_slice(
-                    params[kind]["np_noise"][gslot],
-                    (t, jnp.int32(0), jnp.int32(0)),
-                    (1, h, f),
-                )[0].astype(dtype)
-            else:
-                key, sub = jax.random.split(key)
-                std = params[kind]["noise_std"][ref.slot][:h]
-                noise = jax.random.normal(sub, (h, f), dtype) * std
+            key, sub = jax.random.split(key)
+            std = params[kind]["noise_std"][ref.slot][:h]
+            noise = jax.random.normal(sub, (h, f), dtype) * std
             n_real = jnp.clip(ref.ts_length - 1 - t, 0, h)
             mask = (jnp.arange(h) < n_real)[:, None]
             window = window + noise * mask
@@ -252,18 +274,35 @@ def _forecasts_at(spec, params, t, key):
     return out
 
 
-def make_step_fn(spec, normalized=False):
+def make_step_fn(spec, normalized=False, obs_layout="log"):
     """Build the engine step function for ``spec``.
 
     ``normalized`` is static: whether incoming actions are in [0, 1] and must
     be denormalized (genset goal entries are never denormalized,
     ``genset_module.py:119-121``).
+
+    ``obs_layout`` is static: ``"log"`` concatenates observation segments in
+    container (log) order; ``"env"`` concatenates them directly in the gym
+    env's flattened order (Dict spaces sort module names,
+    ``envs/base/base.py:128-163``) so batched envs need no post-hoc
+    permutation gather.
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     dtype = jnp.dtype(spec.dtype)
+
+    if obs_layout == "log":
+        obs_order = None
+    elif obs_layout == "env":
+        obs_order = tuple(
+            sorted(spec.log_order, key=lambda ref: (ref.name, ref.num))
+        )
+    else:
+        raise ValueError(f"obs_layout must be 'log' or 'env', got {obs_layout!r}")
+
+    row_layout, row_width = row_table_layout(spec)
 
     for ref in spec.fixed:
         if ref.kind != "load":
@@ -307,9 +346,27 @@ def make_step_fn(spec, normalized=False):
         dones = []
         log_vals = {}                   # (name, num, field) -> traced scalar
 
+        # ONE lane-rich row gather covers every module's current ts row AND
+        # the outgoing observation's tabulated segments (the obs columns are
+        # shifted by one step at table build; bitwise-identical values —
+        # see core/tables.py).  The same gather expression appears in the
+        # in-engine policies (core/rollout.py), so XLA CSE leaves a single
+        # gather per fused policy+step program.
+        table_row = None
+        if "step_table" in params:
+            table_row = lax.dynamic_index_in_dim(
+                params["step_table"], t, axis=0, keepdims=False
+            )
+
+        def cur_row(kind, slot):
+            if table_row is not None:
+                off, width = row_layout[(kind, slot)]
+                return table_row[off : off + width]
+            return ts_row(params, kind, slot, t)
+
         # --------------------------------------------------- phase 1: fixed
         for ref in spec.fixed:
-            row = ts_row(params, "load", ref.slot, t)             # (1,) negative
+            row = cur_row("load", ref.slot)                       # (1,) negative
             load_met = -row[0]
             absorbed.append(load_met)
             rewards.append(zero)
@@ -428,7 +485,7 @@ def make_step_fn(spec, normalized=False):
                 a = jnp.asarray(action["grid"][k], dtype)
                 if normalized:
                     a = p["act_low"][k] + no_fma(p["act_spread"][k] * a)
-                row = ts_row(params, "grid", k, t)       # (import, export, co2, status)
+                row = cur_row("grid", k)                 # (import, export, co2, status)
                 status = row[3]
                 is_sink = a < 0
                 prov = physics.clip_source(a, zero, p["max_import"][k] * status, xp=jnp)
@@ -470,7 +527,7 @@ def make_step_fn(spec, normalized=False):
         for ref in spec.flex:
             if ref.kind == "renewable":
                 r = ref.slot
-                row = ts_row(params, "renewable", r, t)
+                row = cur_row("renewable", r)
                 cur = row[0]
                 src = jnp.where(cur < needed, cur, needed)
                 prov = jnp.where(is_excess, zero, src)
@@ -533,7 +590,10 @@ def make_step_fn(spec, normalized=False):
             "forecast": _forecasts_at(spec, params, new_t, sub),
         }
 
-        obs = _build_obs(spec, params, new_state, jnp, dtype)
+        obs = _build_obs(
+            spec, params, new_state, jnp, dtype, order=obs_order,
+            obs_row=None if table_row is None else table_row[row_width:],
+        )
         log_row = _build_log_row(
             spec, log_vals, reward_total, shaped,
             provided_f, absorbed_f,
@@ -589,23 +649,47 @@ def _shaped_reward(spec, reward_total, log_vals, curtailments, jnp):
     raise NotImplementedError(spec.shaper)
 
 
-def _build_obs(spec, params, state, jnp, dtype):
-    parts = []
-    for ref in spec.log_order:
-        if ref.kind in ("load", "renewable", "grid"):
-            t = state["step"]
-            from jax import lax
+def ts_obs_part(spec, params, state, ref, jnp, dtype):
+    """Normalized observation segment of one ts module at ``state['step']``:
+    current row + forecast window (reference
+    ``base_timeseries_module.py:90-97``).  Also the row generator for
+    :func:`pymgrid_tpu.core.tables.build_tables` — table lookups are
+    bitwise-identical to this expression by construction."""
+    from jax import lax
 
-            row = lax.dynamic_index_in_dim(
-                params[ref.kind]["ts"][ref.slot], t, axis=0, keepdims=False
-            ).astype(dtype)
-            low = params[ref.kind]["obs_low"][ref.slot]
-            spread = params[ref.kind]["obs_spread"][ref.slot]
-            vals = [(row - low) / spread]
-            if ref.forecast_horizon > 0:
-                fc = _realized_forecast(spec, params, state, ref, t)
-                vals.append(((fc - low) / spread).reshape(-1))
-            parts.append(jnp.concatenate([v.reshape(-1) for v in vals]))
+    t = state["step"]
+    row = lax.dynamic_index_in_dim(
+        params[ref.kind]["ts"][ref.slot], t, axis=0, keepdims=False
+    ).astype(dtype)
+    low = params[ref.kind]["obs_low"][ref.slot]
+    spread = params[ref.kind]["obs_spread"][ref.slot]
+    vals = [(row - low) / spread]
+    if ref.forecast_horizon > 0:
+        fc = _realized_forecast(spec, params, state, ref, t)
+        vals.append(((fc - low) / spread).reshape(-1))
+    return jnp.concatenate([v.reshape(-1) for v in vals])
+
+
+def _build_obs(spec, params, state, jnp, dtype, order=None, obs_row=None):
+    """Assemble the normalized observation at ``state['step']``.
+
+    ``obs_row``, when provided by the step's fused table gather
+    (:mod:`pymgrid_tpu.core.tables`), carries the tabulated ts segments;
+    otherwise every segment is computed dynamically.
+    """
+    refs = spec.log_order if order is None else order
+    layout = {}
+    if obs_row is not None:
+        layout, _ = obs_table_layout(spec)
+
+    parts = []
+    for ref in refs:
+        if ref.kind in ("load", "renewable", "grid"):
+            if obs_row is not None and tabulable(spec, ref):
+                off, width = layout[(ref.name, ref.num)]
+                parts.append(obs_row[off : off + width])
+            else:
+                parts.append(ts_obs_part(spec, params, state, ref, jnp, dtype))
         elif ref.kind == "battery":
             p = params["battery"]
             charge = state["battery_charge"][ref.slot]

@@ -136,6 +136,9 @@ def build_suite(microgrids, dtype=np.float32):
             )
 
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *params_list)
+    from pymgrid_tpu.core.tables import ensure_tables
+
+    stacked = ensure_tables(first, stacked, config_axis=True)
     return first, stacked
 
 
