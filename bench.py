@@ -8,23 +8,33 @@ construction fused per step, scan over time, vmapped over replicas, vmapped
 over configs, with episode auto-reset.  Observations are consumed
 (checksummed) every step so the RL-facing obs path is measured work.
 
+HONESTY FIX (round 4): every replica now starts at a key-derived random
+initial step (``randomize_initial_step=True``).  Through round 3 all
+replicas of a config were bitwise-identical (same start, same in-engine
+policy), and inspection of the compiled HLO showed XLA *eliminating the
+replica dimension entirely* — the old headline (1.45B env-steps/s) largely
+measured broadcastable work, not per-replica simulation.  Numbers from
+BENCH_r01..r03 are therefore NOT comparable to r04+; the honest per-replica
+engine throughput is what this file now reports.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "env_steps/s/chip", "vs_baseline": N}
 vs_baseline is relative to the 1M env-steps/s/chip target (BASELINE.md).
 
 Besides the headline suite number, the same line carries the RL-facing
-paths a user would actually train on: ``rl_env_steps_per_sec`` times
-``BatchedDiscreteEnv.step`` (integer actions in, observations back to the
-learner, python-loop dispatch included), ``continuous_env_steps_per_sec``
-times ``BatchedContinuousEnv.step`` (normalized box actions), and
-``collect_steps_per_sec`` times a log-materializing rollout (full
-StepOutput incl. log rows written to HBM).
+paths a user would actually train on: ``rl_fused_steps_per_sec`` (the
+engine figure: BatchedDiscreteEnv.rollout, one device program, obs
+returned), ``rl_env_steps_per_sec`` / ``continuous_env_steps_per_sec``
+(python ``step()`` loops — these measure PER-CALL RELAY DISPATCH LATENCY,
+one device round trip per step, NOT engine throughput; quote the fused
+number for the engine), and ``collect_steps_per_sec`` (log-materializing
+rollout, full StepOutput incl. log rows written to HBM).
 
 Env knobs: PYMGRID_BENCH_REPLICAS (default 20480 per config -> 512k envs),
 PYMGRID_BENCH_STEPS (default 1000), PYMGRID_BENCH_REPEATS (3),
 PYMGRID_BENCH_CONFIGS (default 25), PYMGRID_BENCH_SKIP_EXTRAS=1 to print the
 suite number alone.  Extras: PYMGRID_BENCH_RL_BATCH (65536),
-PYMGRID_BENCH_RL_STEPS (100), PYMGRID_BENCH_COLLECT_REPLICAS (512),
+PYMGRID_BENCH_RL_STEPS (100; fused — the (T,B,obs) episode buffer bounds T at B=65536), PYMGRID_BENCH_RL_LOOP_STEPS (100), PYMGRID_BENCH_COLLECT_REPLICAS (256),
 PYMGRID_BENCH_COLLECT_STEPS (250), PYMGRID_BENCH_COLLECT_CONFIGS (=CONFIGS).
 Every code path here is exercised at tiny sizes by tests/test_bench_smoke.py.
 """
@@ -56,7 +66,10 @@ def build_suite_rollout(n_configs, replicas, n_steps, dtype=np.float32):
     # marginal costs at runtime (bitwise-equal to the host RBC, tested)
     policy = make_marginal_cost_policy(runner.spec)
 
-    fn = runner.rollout_fn(policy, n_steps, auto_reset=True, collect=False)
+    fn = runner.rollout_fn(
+        policy, n_steps, auto_reset=True, collect=False,
+        randomize_initial_step=True,   # honest mode: distinct replicas
+    )
     keys = runner.make_keys(seed=0)
     return fn, runner.params, keys
 
@@ -68,10 +81,16 @@ def bench_rl_env_step(batch_size=65536, n_steps=100, dtype=np.float32, seed=0):
     from pymgrid_tpu.envs import DiscreteMicrogridEnv
     from pymgrid_tpu.parallel.batched_env import BatchedDiscreteEnv
 
+    import jax.numpy as jnp
+
     env = DiscreteMicrogridEnv.from_scenario(0)
     batched = BatchedDiscreteEnv(env, batch_size=batch_size, dtype=dtype)
     rng = np.random.RandomState(seed)
-    action_seq = rng.randint(batched.n_actions, size=(n_steps, batch_size))
+    # on device up front: through the TPU relay a per-call host->device
+    # transfer of the action block would dominate the measurement
+    action_seq = jnp.asarray(
+        rng.randint(batched.n_actions, size=(n_steps, batch_size)), jnp.int32
+    )
 
     states = batched.reset(seed=seed)
     states, out = batched.step(states, action_seq[0])  # compile
@@ -80,7 +99,7 @@ def bench_rl_env_step(batch_size=65536, n_steps=100, dtype=np.float32, seed=0):
     t0 = time.perf_counter()
     for k in range(n_steps):
         states, out = batched.step(states, action_seq[k])
-    np.asarray(out.obs)  # force execution + fetch of the last obs
+    np.asarray(out.obs[:2])  # force completion; avoid a 38MB tunnel fetch
     wall = time.perf_counter() - t0
     return batch_size * n_steps / wall
 
@@ -95,18 +114,31 @@ def bench_rl_fused_rollout(batch_size=65536, n_steps=100, dtype=np.float32,
     from pymgrid_tpu.envs import DiscreteMicrogridEnv
     from pymgrid_tpu.parallel.batched_env import BatchedDiscreteEnv
 
+    import jax.numpy as jnp
+
     env = DiscreteMicrogridEnv.from_scenario(0)
     batched = BatchedDiscreteEnv(env, batch_size=batch_size, dtype=dtype)
     rng = np.random.RandomState(seed)
-    action_seq = rng.randint(batched.n_actions, size=(n_steps, batch_size))
+    action_seq = jnp.asarray(
+        rng.randint(batched.n_actions, size=(n_steps, batch_size)), jnp.int32
+    )
+
+    def fetch_probe(outs):
+        # tiny on-device reduction; fetching it forces completion of the
+        # whole program without pulling the episode buffers through the
+        # relay tunnel (a (T,B) reward fetch alone costs ~1s at tunnel
+        # bandwidth and would swamp the engine time being measured)
+        import jax.numpy as _jnp
+
+        return np.asarray(_jnp.sum(outs.reward[-1, :8]))
 
     states = batched.reset(seed=seed)
     _, outs = batched.rollout(states, action_seq)  # compile
-    np.asarray(outs.reward)
+    fetch_probe(outs)
 
     t0 = time.perf_counter()
     _, outs = batched.rollout(states, action_seq)
-    np.asarray(outs.reward)
+    fetch_probe(outs)
     wall = time.perf_counter() - t0
     return batch_size * n_steps / wall
 
@@ -117,10 +149,14 @@ def bench_continuous_env_step(batch_size=65536, n_steps=100, dtype=np.float32,
     from pymgrid_tpu.envs import ContinuousMicrogridEnv
     from pymgrid_tpu.parallel.batched_env import BatchedContinuousEnv
 
+    import jax.numpy as jnp
+
     env = ContinuousMicrogridEnv.from_scenario(1)  # genset + weak grid
     batched = BatchedContinuousEnv(env, batch_size=batch_size, dtype=dtype)
     rng = np.random.RandomState(seed)
-    action_seq = rng.rand(n_steps, batch_size, batched.action_dim).astype(dtype)
+    action_seq = jnp.asarray(
+        rng.rand(n_steps, batch_size, batched.action_dim).astype(dtype)
+    )
 
     states = batched.reset(seed=seed)
     states, out = batched.step(states, action_seq[0])  # compile
@@ -129,12 +165,12 @@ def bench_continuous_env_step(batch_size=65536, n_steps=100, dtype=np.float32,
     t0 = time.perf_counter()
     for k in range(n_steps):
         states, out = batched.step(states, action_seq[k])
-    np.asarray(out.obs)
+    np.asarray(out.obs[:2])  # force completion; avoid a 38MB tunnel fetch
     wall = time.perf_counter() - t0
     return batch_size * n_steps / wall
 
 
-def bench_collect_rollout(replicas=512, n_steps=250, n_configs=25,
+def bench_collect_rollout(replicas=256, n_steps=250, n_configs=25,
                           dtype=np.float32):
     """Log-materializing rollout: the full time-major StepOutput pytree
     (obs/reward/shaped_reward/done/log rows/balance scalars) written to HBM
@@ -148,16 +184,24 @@ def bench_collect_rollout(replicas=512, n_steps=250, n_configs=25,
     microgrids = [Microgrid.from_scenario(n) for n in range(n_configs)]
     runner = SuiteRunner(microgrids, batch_per_config=replicas, dtype=dtype)
     policy = make_marginal_cost_policy(runner.spec)
-    fn = runner.rollout_fn(policy, n_steps, auto_reset=True, collect=True)
+    fn = runner.rollout_fn(
+        policy, n_steps, auto_reset=True, collect=True,
+        randomize_initial_step=True,
+    )
     keys = runner.make_keys(seed=0)
+
+    def fetch_probe(outs):
+        import jax.numpy as _jnp
+
+        return np.asarray(_jnp.sum(outs.reward[..., -1]))
 
     _, outs = fn(runner.params, keys)
     assert outs.obs.shape[-2] == n_steps and outs.log_row.ndim == 4
-    np.asarray(outs.reward)  # compile + execute (fetch rewards only)
+    fetch_probe(outs)  # compile + execute; avoid a 13MB tunnel fetch
 
     t0 = time.perf_counter()
     _, outs = fn(runner.params, keys)
-    np.asarray(outs.reward)
+    fetch_probe(outs)
     wall = time.perf_counter() - t0
     return n_configs * replicas * n_steps / wall
 
@@ -207,12 +251,18 @@ def main():
         "wall_s": round(best, 4),
     }
 
+    result["note"] = (
+        "replicas start at randomized steps (honest per-replica work); "
+        "r01-r03 suite numbers measured XLA-deduplicated identical replicas "
+        "and are not comparable"
+    )
+
     if not int(os.environ.get("PYMGRID_BENCH_SKIP_EXTRAS", 0)):
         _mark("extras: BatchedDiscreteEnv RL path")
         result["rl_env_steps_per_sec"] = round(
             bench_rl_env_step(
                 batch_size=int(os.environ.get("PYMGRID_BENCH_RL_BATCH", 65536)),
-                n_steps=int(os.environ.get("PYMGRID_BENCH_RL_STEPS", 100)),
+                n_steps=int(os.environ.get("PYMGRID_BENCH_RL_LOOP_STEPS", 100)),
             ),
             1,
         )
@@ -228,14 +278,19 @@ def main():
         result["continuous_env_steps_per_sec"] = round(
             bench_continuous_env_step(
                 batch_size=int(os.environ.get("PYMGRID_BENCH_RL_BATCH", 65536)),
-                n_steps=int(os.environ.get("PYMGRID_BENCH_RL_STEPS", 100)),
+                n_steps=int(os.environ.get("PYMGRID_BENCH_RL_LOOP_STEPS", 100)),
             ),
             1,
+        )
+        result["loop_numbers_note"] = (
+            "rl_env_steps_per_sec and continuous_env_steps_per_sec time "
+            "python step() loops: per-call relay dispatch latency, not "
+            "engine throughput (rl_fused_steps_per_sec is the engine figure)"
         )
         _mark("extras: collect rollout")
         result["collect_steps_per_sec"] = round(
             bench_collect_rollout(
-                replicas=int(os.environ.get("PYMGRID_BENCH_COLLECT_REPLICAS", 512)),
+                replicas=int(os.environ.get("PYMGRID_BENCH_COLLECT_REPLICAS", 256)),
                 n_steps=int(os.environ.get("PYMGRID_BENCH_COLLECT_STEPS", 250)),
                 n_configs=int(os.environ.get("PYMGRID_BENCH_COLLECT_CONFIGS", n_configs)),
             ),

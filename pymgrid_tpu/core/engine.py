@@ -30,7 +30,12 @@ import numpy as np
 
 from pymgrid_tpu.core import physics
 from pymgrid_tpu.core.numpy_sum import numpy_sum_compat
-from pymgrid_tpu.core.tables import obs_table_layout, row_table_layout, tabulable
+from pymgrid_tpu.core.tables import (
+    logfc_table_layout,
+    obs_table_layout,
+    row_table_layout,
+    tabulable,
+)
 
 __all__ = ["StepOutput", "make_step_fn", "make_reset_fn", "ts_obs_part"]
 
@@ -106,14 +111,22 @@ def _n_feat(kind):
 
 
 def make_reset_fn(spec):
-    """Build ``reset(params, key) -> state``."""
+    """Build ``reset(params, key, initial_step=None) -> state``.
+
+    ``initial_step`` optionally overrides ``params['initial_step']`` per
+    call (traced) — the engine analog of the host trajectory functions'
+    randomized episode starts (``microgrid/trajectory.py``).
+    """
     import jax
     import jax.numpy as jnp
 
     dtype = jnp.dtype(spec.dtype)
 
-    def reset(params, key):
-        t0 = jnp.asarray(params["initial_step"], jnp.int32)
+    def reset(params, key, initial_step=None):
+        if initial_step is None:
+            t0 = jnp.asarray(params["initial_step"], jnp.int32)
+        else:
+            t0 = jnp.asarray(initial_step, jnp.int32)
         state = {
             "step": t0,
             "battery_charge": jnp.asarray(params["battery"]["init_charge"], dtype),
@@ -303,6 +316,9 @@ def make_step_fn(spec, normalized=False, obs_layout="log"):
         raise ValueError(f"obs_layout must be 'log' or 'env', got {obs_layout!r}")
 
     row_layout, row_width = row_table_layout(spec)
+    _, _obs_width = obs_table_layout(spec)
+    logfc_layout, _ = logfc_table_layout(spec)
+    logfc_base = row_width + _obs_width
 
     for ref in spec.fixed:
         if ref.kind != "load":
@@ -364,6 +380,17 @@ def make_step_fn(spec, normalized=False, obs_layout="log"):
                 return table_row[off : off + width]
             return ts_row(params, kind, slot, t)
 
+        def log_window(ref):
+            """Realized forecast window for the log row — from the fused
+            table gather when tabulated (per-replica window gathers
+            scalarize into while-loops on TPU), dynamic otherwise."""
+            if table_row is not None and (ref.name, ref.num) in logfc_layout:
+                off, width = logfc_layout[(ref.name, ref.num)]
+                return table_row[
+                    logfc_base + off : logfc_base + off + width
+                ].reshape(ref.forecast_horizon, ref.n_features)
+            return _realized_forecast(spec, params, state, ref, t)
+
         # --------------------------------------------------- phase 1: fixed
         for ref in spec.fixed:
             row = cur_row("load", ref.slot)                       # (1,) negative
@@ -372,7 +399,7 @@ def make_step_fn(spec, normalized=False, obs_layout="log"):
             rewards.append(zero)
             dones.append(ts_done(params, "load", ref.slot, t))
             lv = {"reward": zero, "load_met": load_met, "load_current": row[0]}
-            _log_forecast(lv, ref, _realized_forecast(spec, params, state, ref, t))
+            _log_forecast(lv, ref, log_window(ref))
             log_vals[(ref.name, ref.num)] = lv
 
         fixed_provided = numpy_sum_compat(provided)
@@ -512,7 +539,7 @@ def make_step_fn(spec, normalized=False, obs_layout="log"):
                     "co2_per_kwh_current": row[2],
                     "grid_status_current": row[3],
                 }
-                _log_forecast(lv, ref, _realized_forecast(spec, params, state, ref, t))
+                _log_forecast(lv, ref, log_window(ref))
                 log_vals[(ref.name, ref.num)] = lv
 
         provided_2 = numpy_sum_compat(provided)
@@ -542,7 +569,7 @@ def make_step_fn(spec, normalized=False, obs_layout="log"):
                     ref.log_fields[2]: prov,
                     "renewable_current": cur,
                 }
-                _log_forecast(lv, ref, _realized_forecast(spec, params, state, ref, t))
+                _log_forecast(lv, ref, log_window(ref))
                 log_vals[(ref.name, ref.num)] = lv
                 curtailments.append((ref.name, curtail))
             else:  # balancing

@@ -28,6 +28,7 @@ __all__ = [
     "tabulable",
     "row_table_layout",
     "obs_table_layout",
+    "logfc_table_layout",
     "build_tables",
     "ensure_tables",
 ]
@@ -65,6 +66,22 @@ def obs_table_layout(spec):
     return layout, offset
 
 
+def logfc_table_layout(spec):
+    """Static column layout of the raw log-forecast segment:
+    {(name, num): (offset, width=h*f)} over tabulable ts refs with a
+    forecast horizon.  These are the UNNORMALIZED realized forecast windows
+    logged per step (``{comp}_forecast_j`` fields) — without tabulation the
+    per-replica window gathers scalarize into while-loops on TPU whenever
+    log rows are materialized (measured 30x on collect rollouts)."""
+    layout, offset = {}, 0
+    for ref in spec.log_order:
+        if tabulable(spec, ref) and ref.forecast_horizon > 0:
+            width = ref.forecast_horizon * ref.n_features
+            layout[(ref.name, ref.num)] = (offset, width)
+            offset += width
+    return layout, offset
+
+
 def _table_length(params):
     lengths = [
         params[k]["ts"].shape[-2]
@@ -97,6 +114,7 @@ def build_tables(spec, params, config_axis=False):
     T = _table_length(params)
     row_layout, row_width = row_table_layout(spec)
     obs_layout, obs_width = obs_table_layout(spec)
+    _, logfc_width = logfc_table_layout(spec)
 
     def row_at(params, t):
         parts = []
@@ -125,27 +143,45 @@ def build_tables(spec, params, config_axis=False):
             return jnp.zeros((0,), dtype)
         return jnp.concatenate(parts)
 
+    def logfc_at(params, t):
+        state = {"step": t}
+        parts = []
+        for ref in spec.log_order:
+            if tabulable(spec, ref) and ref.forecast_horizon > 0:
+                window = eng._realized_forecast(spec, params, state, ref, t)
+                parts.append(window.reshape(-1))
+        if not parts:
+            return jnp.zeros((0,), dtype)
+        return jnp.concatenate(parts)
+
     if T == 0:
-        width = row_width + obs_width
+        width = row_width + obs_width + logfc_width
         shape = (1, width) if not config_axis else (1, 1, width)
         return {"step_table": jnp.zeros(shape, dtype)}
 
     ts_idx = jnp.arange(T, dtype=jnp.int32)
     tables = {}
-    for name, fn in (("row_table", row_at), ("obs_table", obs_at)):
+    for name, fn in (
+        ("row_table", row_at),
+        ("obs_table", obs_at),
+        ("logfc_table", logfc_at),
+    ):
         over_t = jax.vmap(fn, in_axes=(None, 0))
         if config_axis:
             over_t = jax.vmap(over_t, in_axes=(0, None))
         tables[name] = jax.jit(over_t)(params, ts_idx)
 
-    # One fused table: row t = [raw rows at t | normalized obs at t+1].
-    # The engine consumes observations only at new_t = t + 1, so shifting
-    # the obs columns lets a SINGLE per-replica gather at t serve both the
-    # policy's current rows and the step's outgoing observation; the final
-    # row repeats (matching the dynamic path's index clamping).
+    # One fused table: row t = [raw rows at t | normalized obs at t+1 |
+    # raw realized forecast windows at t].  The engine consumes
+    # observations only at new_t = t + 1, so shifting the obs columns lets
+    # a SINGLE per-replica gather at t serve the policy's current rows, the
+    # step's outgoing observation AND the log row's forecast fields; the
+    # final obs row repeats (matching the dynamic path's index clamping).
     obs = tables["obs_table"]
     shifted = jnp.concatenate([obs[..., 1:, :], obs[..., -1:, :]], axis=-2)
-    step_table = jnp.concatenate([tables["row_table"], shifted], axis=-1)
+    step_table = jnp.concatenate(
+        [tables["row_table"], shifted, tables["logfc_table"]], axis=-1
+    )
     return {"step_table": step_table}
 
 

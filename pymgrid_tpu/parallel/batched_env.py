@@ -39,35 +39,9 @@ def _fused_rollout(env, states, action_seq, keep_logs, keep_obs=True):
     measured 4-10x on evaluation rollouts where only rewards matter.
     """
     import jax
-    import jax.numpy as jnp
     from jax import lax
 
-    def pad_lanes(x):
-        """Pad the feature dim to a multiple of 128 lanes: a
-        dynamic-update-slice into the stacked scan output with a
-        non-tile-aligned minor dimension costs ~4x on TPU (measured);
-        padding inside the loop + one slice outside is far cheaper."""
-        d = x.shape[-1]
-        rem = (-d) % 128
-        if rem == 0:
-            return x
-        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, rem)])
-
-    def constrain_row_major(x):
-        """Pin the stacked (T, B, d) scan output to row-major layout.
-
-        Without the constraint XLA:TPU picks a feature-major layout for the
-        episode buffer, turning each step's write into d strided partial
-        writes (~3x the whole rollout's cost, measured on chip); row-major
-        + lane padding makes it one contiguous aligned store per step.
-        """
-        if jax.devices()[0].platform == "cpu":
-            return x
-        from jax.experimental.layout import Layout, with_layout_constraint
-
-        return with_layout_constraint(
-            x, Layout(major_to_minor=tuple(range(x.ndim)))
-        )
+    from pymgrid_tpu.utils.layout import constrain_row_major, pad_lanes
 
     key = (bool(keep_logs), bool(keep_obs))
     fn = env._rollout_cache.get(key)

@@ -17,6 +17,7 @@ import numpy as np
 
 from pymgrid_tpu.core.engine import make_reset_fn, make_step_fn
 from pymgrid_tpu.core.spec import extract_spec
+from pymgrid_tpu.utils.layout import constrain_time_major, pad_lanes
 
 __all__ = ["normalize_to_superset", "build_suite", "SuiteRunner"]
 
@@ -167,7 +168,8 @@ class SuiteRunner:
             self._param_sharding = NamedSharding(mesh, P("batch"))
             self.params = jax.device_put(self.params, self._param_sharding)
 
-    def rollout_fn(self, policy, n_steps, auto_reset=True, collect=False):
+    def rollout_fn(self, policy, n_steps, auto_reset=True, collect=False,
+                   randomize_initial_step=False):
         """Jitted ``(params, keys) -> per-config, per-replica outputs``.
 
         With ``collect=False`` (throughput mode) returns the scalar
@@ -176,6 +178,16 @@ class SuiteRunner:
         time-major over the full episode — the same collect contract as
         :func:`pymgrid_tpu.core.rollout.make_rollout_fn` (obs, rewards,
         dones, log rows all materialized to HBM every step).
+
+        ``randomize_initial_step=True`` starts (and auto-resets) every
+        replica at a key-derived uniform step in ``[initial_step,
+        min_ts_length - 1)`` — the engine analog of the host's stochastic
+        trajectory functions.  This is also the honest-benchmarking mode:
+        with a shared deterministic start and an in-engine policy, all
+        replicas of a config are bitwise-identical and XLA *deduplicates
+        the replica dimension entirely* (verified in the compiled HLO), so
+        throughput measured that way is phantom.  Distinct starts force
+        real per-replica work.
         """
         import jax
         import jax.numpy as jnp
@@ -185,38 +197,87 @@ class SuiteRunner:
         step_fn = make_step_fn(spec, normalized=False)
         reset_fn = make_reset_fn(spec)
 
-        def single(params, key):
-            state = reset_fn(params, key)
+        if randomize_initial_step:
+            ts_lengths = [m.ts_length for m in spec.log_order if m.ts_length]
+            max_start = (min(ts_lengths) if ts_lengths else 1) - 1
 
-            def body(carry, _):
-                state, acc = carry
-                action = policy(params, state)
-                new_state, out = step_fn(params, state, action)
-                if auto_reset:
-                    fresh = reset_fn(params, new_state["rng"])
-                    new_state = jax.tree.map(
-                        lambda f, n: jnp.where(out.done, f, n), fresh, new_state
-                    )
-                acc = acc + out.reward + out.obs.sum()
-                if collect:
-                    return (new_state, acc), out
-                return (new_state, acc), None
+            def do_reset(params, key):
+                t0 = jax.random.randint(
+                    jax.random.fold_in(key, 0x51A7),
+                    (),
+                    jnp.asarray(params["initial_step"], jnp.int32),
+                    jnp.int32(max_start),
+                )
+                return reset_fn(params, key, t0)
+        else:
+            do_reset = reset_fn
 
-            (final_state, acc), outs = lax.scan(
-                body, (state, jnp.asarray(0.0, jnp.dtype(spec.dtype))), None,
-                length=n_steps,
-            )
-            if collect:
-                return acc, outs
-            return acc
+        def step_one(params, state):
+            action = policy(params, state)
+            new_state, out = step_fn(params, state, action)
+            if auto_reset:
+                fresh = do_reset(params, new_state["rng"])
+                new_state = jax.tree.map(
+                    lambda f, n: jnp.where(out.done, f, n), fresh, new_state
+                )
+            return new_state, out
+
+        # vmap replicas (shared config params), then vmap configs; the time
+        # scan goes OUTSIDE both vmaps so stacked outputs are written as one
+        # contiguous time-leading slab per step — scan-inside-vmap turns the
+        # per-step write into B*T scalarized update-slices (measured 30x on
+        # chip for collect rollouts)
+        batched_step = jax.vmap(
+            jax.vmap(step_one, in_axes=(None, 0)), in_axes=(0, 0)
+        )
+        batched_reset = jax.vmap(
+            jax.vmap(do_reset, in_axes=(None, 0)), in_axes=(0, 0)
+        )
 
         def suite_rollout(params, keys):
-            # vmap replicas (shared config params), then vmap configs
-            per_config = jax.vmap(
-                lambda p, ks: jax.vmap(lambda k: single(p, k))(ks),
-                in_axes=(0, 0),
+            states = batched_reset(params, keys)
+            n_cfg, B = keys.shape[:2]
+            acc0 = jnp.zeros((n_cfg, B), jnp.dtype(spec.dtype))
+
+            def body(carry, _):
+                states, acc = carry
+                states, out = batched_step(params, states)
+                acc = acc + out.reward + out.obs.sum(axis=-1)
+                if collect:
+                    # flatten (cfg, B) -> one batch dim for the stacked scan
+                    # outputs: a 4-D episode buffer's per-step write
+                    # scalarizes into cfg*B tiny update-slices on TPU
+                    # (measured); the 3-D (T, cfg*B, d) shape stores one
+                    # contiguous slab per step
+                    out = jax.tree.map(
+                        lambda x: x.reshape((n_cfg * B,) + x.shape[2:]), out
+                    )
+                    out = out._replace(
+                        obs=pad_lanes(out.obs), log_row=pad_lanes(out.log_row)
+                    )
+                    return (states, acc), out
+                return (states, acc), None
+
+            (states, acc), outs = lax.scan(
+                body, (states, acc0), None, length=n_steps
             )
-            return per_config(params, keys)
+            if collect:
+                # ys are (T, cfg*B, ...): constrain time-major, strip lane
+                # padding, then restore the (cfg, B, T, ...) API layout
+                outs = outs._replace(
+                    obs=constrain_time_major(outs.obs, 0)[..., : spec.obs_dim],
+                    log_row=constrain_time_major(outs.log_row, 0)[
+                        ..., : spec.n_log_fields
+                    ],
+                )
+                outs = jax.tree.map(
+                    lambda x: jnp.moveaxis(
+                        x.reshape((n_steps, n_cfg, B) + x.shape[2:]), 0, 2
+                    ),
+                    outs,
+                )
+                return acc, outs
+            return acc
 
         return jax.jit(suite_rollout)
 

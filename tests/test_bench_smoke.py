@@ -107,4 +107,4 @@ def test_chip_report_writer_computes_measured_deltas(tmp_path):
     assert "Measured this run" in text
     # scenario 0 host cost comes from RESULTS.md; delta must be computed
     assert "1,033,040.53" in text and "+0.66%" in text
-    assert text.strip().splitlines()[-1].startswith("| **total** |")
+    assert text.strip().splitlines()[-1].startswith("| **total (matched)** |")

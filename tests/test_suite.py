@@ -119,3 +119,47 @@ def test_runtime_rbc_matches_host_all_scenarios():
             host_log[("balance", 0, "reward")].values,
             err_msg=f"scenario {n}",
         )
+
+
+def test_randomized_initial_step_matches_shifted_host():
+    """randomize_initial_step starts each replica at a distinct key-derived
+    step and its trajectory equals the host RBC started at that step
+    (the honest-benchmark mode of bench.py; r4 phantom-throughput fix)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_steps, B = 30, 3
+    mgs = [pymgrid_tpu.Microgrid.from_scenario(0)]
+    runner = SuiteRunner(mgs, batch_per_config=B, dtype=np.float64)
+    from pymgrid_tpu.core.rollout import make_marginal_cost_policy
+
+    policy = make_marginal_cost_policy(runner.spec)
+    fn = runner.rollout_fn(
+        policy, n_steps, auto_reset=False, collect=True,
+        randomize_initial_step=True,
+    )
+    keys = runner.make_keys(seed=3)
+    _, outs = fn(runner.params, keys)
+    rewards = np.asarray(outs.reward)[0]          # (B, n_steps)
+
+    # derive each replica's start the same way the runner does
+    ts_lengths = [m.ts_length for m in runner.spec.log_order if m.ts_length]
+    max_start = min(ts_lengths) - 1
+    t0s = [
+        int(jax.random.randint(
+            jax.random.fold_in(keys[0, b], 0x51A7), (), 0, max_start
+        ))
+        for b in range(B)
+    ]
+    assert len(set(t0s)) > 1, "replicas should start at distinct steps"
+
+    for b, t0 in enumerate(t0s):
+        mg = pymgrid_tpu.Microgrid.from_scenario(0)
+        mg.initial_step = t0
+        mg.reset()
+        host_log = RuleBasedControl(mg).run_compiled(max_steps=n_steps)
+        np.testing.assert_array_equal(
+            rewards[b],
+            host_log[("balance", 0, "reward")].values,
+            err_msg=f"replica {b} (t0={t0})",
+        )

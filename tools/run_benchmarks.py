@@ -307,6 +307,37 @@ def _write_scaling_report(out, virtual_rows, chip_rows, args):
     )
 
 
+
+def _load_sidecar(sidecar, config, resume, mark):
+    """Load a resume sidecar, refusing rows recorded under a different run
+    configuration (ADVICE r3: silently mixing --enum-bits/--matmul-precision
+    rows would corrupt a published table).  Returns the rows dict."""
+    import json
+
+    if not (resume and sidecar.exists()):
+        return {}
+    data = json.loads(sidecar.read_text())
+    if "config" not in data:  # legacy schema: no config recorded
+        raise SystemExit(
+            f"{sidecar} predates config-stamped sidecars; delete it or rerun "
+            f"without --resume."
+        )
+    if data["config"] != config:
+        raise SystemExit(
+            f"--resume refused: {sidecar} was recorded with config "
+            f"{data['config']} but this run uses {config}.  Delete the "
+            f"sidecar or rerun with matching flags."
+        )
+    mark(f"resuming: {sorted(data['rows'])} already recorded")
+    return data["rows"]
+
+
+def _save_sidecar(sidecar, config, rows):
+    import json
+
+    sidecar.write_text(json.dumps({"config": config, "rows": rows}))
+
+
 def run_saa(args):
     """Full-year on-chip stochastic MPC, all 25 scenarios, three presets.
 
@@ -339,10 +370,14 @@ def run_saa(args):
               flush=True)
 
     sidecar = REPO / "RESULTS_SAA.partial.json"
-    done = {}
-    if args.resume and sidecar.exists():
-        done = json.loads(sidecar.read_text())
-        mark(f"resuming: {sorted(done)} already recorded")
+    config = {
+        "enum_bits": args.enum_bits,
+        "enum_chunk": args.enum_chunk,
+        "matmul_precision": args.matmul_precision,
+        "saa_samples": args.saa_samples,
+        "saa_percentile": pct,
+    }
+    done = _load_sidecar(sidecar, config, args.resume, mark)
 
     rows = {n: {} for n in scenarios}
     for preset in presets:
@@ -366,7 +401,7 @@ def run_saa(args):
             cost, dt = float(-rewards.sum()), time.time() - t0
             rows[n][preset] = (cost, len(rewards), dt)
             done[key] = [cost, len(rewards), dt]
-            sidecar.write_text(json.dumps(done))
+            _save_sidecar(sidecar, config, done)
             print(f"scenario {n}: SAA-{preset} {cost:,.2f} "
                   f"({len(rewards)} steps, {dt:.1f}s)", flush=True)
 
@@ -401,6 +436,7 @@ def run_saa(args):
     lines.append(f"| **total** | {totals} | |")
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}")
+    sidecar.unlink(missing_ok=True)  # table written; crash insurance done
 
 
 def run_mpc_chip(args):
@@ -429,10 +465,14 @@ def run_mpc_chip(args):
     import json
 
     sidecar = REPO / "RESULTS_CHIP.partial.json"
-    done = {}
-    if args.resume and sidecar.exists():
-        done = {int(k): v for k, v in json.loads(sidecar.read_text()).items()}
-        mark(f"resuming: {sorted(done)} already recorded")
+    config = {
+        "enum_bits": args.enum_bits,
+        "enum_chunk": args.enum_chunk,
+        "matmul_precision": args.matmul_precision,
+        "scan_chunk": args.scan_chunk,
+    }
+    done = {int(k): v for k, v in
+            _load_sidecar(sidecar, config, args.resume, mark).items()}
 
     rows = []
     for n in scenarios:
@@ -461,7 +501,7 @@ def run_mpc_chip(args):
         cost, dt = float(-rewards[:, 0].sum()), time.time() - t0
         rows.append((n, cost, n_steps, dt))
         done[n] = [n, cost, n_steps, dt]
-        sidecar.write_text(json.dumps({str(k): v for k, v in done.items()}))
+        _save_sidecar(sidecar, config, {str(k): v for k, v in done.items()})
         print(f"scenario {n}: chip-MPC {cost:,.2f} ({n_steps} steps, {dt:.1f}s)",
               flush=True)
 
@@ -523,13 +563,23 @@ def _write_chip_report(rows, enum_bits, out=None):
         host = f"{host_costs[n]:,.2f}" if n in host_costs else "—"
         d = f"{deltas[n]:+.2%}" if n in deltas else "—"
         lines.append(f"| {n} | {cost:,.2f} | {host} | {d} | {steps} | {dt:.1f} |")
-    total_line = f"| **total** | **{sum(r[1] for r in rows):,.2f}** |"
     if deltas:
-        total_line += (f" **{total_host:,.2f}** | "
-                       f"**{total_chip / total_host - 1.0:+.2%}** | | |")
+        # chip total over the SAME host-matched subset as total_host/Δ
+        unmatched = [n for n, *_ in rows if n not in host_costs]
+        total_line = (f"| **total (matched)** | **{total_chip:,.2f}** | "
+                      f"**{total_host:,.2f}** | "
+                      f"**{total_chip / total_host - 1.0:+.2%}** | | |")
+        lines.append(total_line)
+        if unmatched:
+            lines.append(
+                f"| total (all rows) | {sum(r[1] for r in rows):,.2f} "
+                f"| — | — | | |")
+            lines.append("")
+            lines.append(f"Scenarios without a host anchor in RESULTS.md: "
+                         f"{unmatched}.")
     else:
-        total_line += " | | | |"
-    lines.append(total_line)
+        lines.append(f"| **total** | **{sum(r[1] for r in rows):,.2f}** "
+                     f"| | | | |")
     # keep any hand-written analysis section across regenerations
     if out.exists():
         m = re.search(r"^## Quality analysis.*", out.read_text(),
