@@ -170,6 +170,61 @@ def bench_continuous_env_step(batch_size=65536, n_steps=100, dtype=np.float32,
     return batch_size * n_steps / wall
 
 
+def bench_pallas_rollout(batch_size=131072, n_steps=2000, seed=0):
+    """Pallas fused-rollout kernel vs the XLA engine on the SAME workload.
+
+    Workload: an init-charge sweep of the scenario-0 (grid-only) family —
+    every replica starts from a different battery charge, so trajectories
+    are genuinely distinct per replica (no XLA replica dedup possible) and
+    each is a full marginal-cost-RBC rollout.  Returns
+    (pallas_steps_per_sec, engine_steps_per_sec).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pymgrid_tpu import Microgrid
+    from pymgrid_tpu.core.engine import make_reset_fn
+    from pymgrid_tpu.core.rollout import make_marginal_cost_policy, make_rollout_fn
+    from pymgrid_tpu.core.spec import extract_spec
+    from pymgrid_tpu.ops.pallas_rollout import make_pallas_rbc_rollout
+
+    mg = Microgrid.from_scenario(0)
+    spec, params, _ = extract_spec(mg, dtype=np.float32)
+    pb = params["battery"]
+    init = np.linspace(
+        float(pb["min_capacity"][0]), float(pb["max_capacity"][0]),
+        batch_size, dtype=np.float32,
+    )
+
+    interpret = jax.default_backend() == "cpu"
+    pallas_fn = make_pallas_rbc_rollout(spec, params, n_steps,
+                                        interpret=interpret)
+    init_j = jnp.asarray(init)
+    np.asarray(pallas_fn(init_j))  # compile
+    t0 = time.perf_counter()
+    np.asarray(pallas_fn(init_j)[:8])
+    pallas_rate = batch_size * n_steps / (time.perf_counter() - t0)
+
+    # identical workload through the XLA engine (policy + dispatch fused,
+    # rewards-only)
+    jparams = jax.tree.map(jnp.asarray, params)
+    reset_fn = make_reset_fn(spec)
+    keys = jax.random.split(jax.random.PRNGKey(seed), batch_size)
+    states = jax.jit(jax.vmap(reset_fn, in_axes=(None, 0)))(jparams, keys)
+    states = {**states, "battery_charge": init_j[:, None]}
+    policy = make_marginal_cost_policy(spec)
+    fn = make_rollout_fn(spec, policy, n_steps, auto_reset=False,
+                         collect=False)
+    vfn = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
+    out = vfn(jparams, states)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]  # compile + run
+    t0 = time.perf_counter()
+    out = vfn(jparams, states)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    engine_rate = batch_size * n_steps / (time.perf_counter() - t0)
+    return pallas_rate, engine_rate
+
+
 def bench_collect_rollout(replicas=256, n_steps=250, n_configs=25,
                           dtype=np.float32):
     """Log-materializing rollout: the full time-major StepOutput pytree
@@ -287,6 +342,13 @@ def main():
             "python step() loops: per-call relay dispatch latency, not "
             "engine throughput (rl_fused_steps_per_sec is the engine figure)"
         )
+        _mark("extras: pallas kernel vs engine (init-charge sweep)")
+        pallas_rate, engine_rate = bench_pallas_rollout(
+            batch_size=int(os.environ.get("PYMGRID_BENCH_PALLAS_BATCH", 131072)),
+            n_steps=int(os.environ.get("PYMGRID_BENCH_PALLAS_STEPS", 2000)),
+        )
+        result["pallas_steps_per_sec"] = round(pallas_rate, 1)
+        result["engine_sweep_steps_per_sec"] = round(engine_rate, 1)
         _mark("extras: collect rollout")
         result["collect_steps_per_sec"] = round(
             bench_collect_rollout(

@@ -27,7 +27,8 @@ sys.path.insert(0, str(REPO))
 
 
 def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
-                   gamma=0.99, dtype=np.float32, mesh=None):
+                   gamma=0.99, dtype=np.float32, mesh=None,
+                   entropy_coef=0.01):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -92,14 +93,18 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
             key, sub = jax.random.split(key)
             logits = mlp(theta["policy"], obs.astype(jnp.float32))
             action = jax.random.categorical(sub, logits)
-            logp = jax.nn.log_softmax(logits)[action]
+            logp_all = jax.nn.log_softmax(logits)
+            logp = logp_all[action]
+            # categorical entropy: exploration pressure away from the
+            # RBC-mimicking local optimum (time-dependent orderings beat it)
+            entropy = -(jnp.exp(logp_all) * logp_all).sum()
             value = mlp(theta["value"], obs.astype(jnp.float32))[0]
             new_state, out = env_step(params, state, action, None)
             return (new_state, out.obs, key), (
-                logp, value, out.reward * reward_scale, out.done, out.obs
+                logp, value, out.reward * reward_scale, out.done, entropy
             )
 
-        (state, obs, _), (logps, values, rewards, dones, _) = lax.scan(
+        (state, obs, _), (logps, values, rewards, dones, entropies) = lax.scan(
             body, (state, obs, key), None, length=rollout_len
         )
         # reward-to-go (no bootstrapping past done)
@@ -112,8 +117,10 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
         adv = lax.stop_gradient(returns) - values
         policy_loss = -(logps * lax.stop_gradient(adv)).mean()
         value_loss = (adv**2).mean()
-        entropy = 0.0  # categorical entropy bonus omitted for brevity
-        return policy_loss + 0.5 * value_loss, (state, obs, returns.mean())
+        return (
+            policy_loss + 0.5 * value_loss - entropy_coef * entropies.mean(),
+            (state, obs, returns.mean()),
+        )
 
     def loss_fn(theta, params, states, obses, keys):
         losses, aux = jax.vmap(
@@ -147,9 +154,57 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
         states, outs = jax.vmap(lambda s: step_fn(params, s, zero))(states)
         return states, outs.obs
 
-    def run(iters=40, seed=0, log_every=10):
+    # ------------------------------------------------------------ evaluation
+    from pymgrid_tpu.core.rollout import make_marginal_cost_policy, make_rollout_fn
+
+    @jax.jit
+    def _eval_start(params, key):
+        """Shared eval start state + first observation (one zero-action
+        bootstrap step, same as init_envs, so policy and RBC evaluations
+        begin from the identical state)."""
+        state = reset_fn(params, key)
+        zero = {
+            "battery": jnp.zeros(spec.n_battery, dtype),
+            "genset": jnp.zeros((spec.n_genset, 2), dtype),
+            "grid": jnp.zeros(spec.n_grid, dtype),
+        }
+        state, out = step_fn(params, state, zero)
+        return state, out.obs
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _eval_policy(theta, params, n_steps, key):
+        """Full-slice return of the GREEDY learned policy (raw rewards,
+        no auto-reset) — the verdict's policy-vs-RBC comparison surface."""
+        state, obs = _eval_start(params, key)
+
+        def body(carry, _):
+            state, obs = carry
+            logits = mlp(theta["policy"], obs.astype(jnp.float32))
+            action = jnp.argmax(logits)
+            pl_action = table_policy(params, state, action)
+            state, out = step_fn(params, state, pl_action)
+            return (state, out.obs), out.reward
+
+        _, rewards = lax.scan(body, (state, obs), None, length=n_steps)
+        return rewards.sum()
+
+    def eval_greedy(theta, n_steps=1000, seed=123):
+        return float(_eval_policy(theta, params, n_steps,
+                                  jax.random.PRNGKey(seed)))
+
+    def rbc_baseline(n_steps=1000, seed=123):
+        """RBC return on the identical eval slice (same start state)."""
+        rbc_policy = make_marginal_cost_policy(spec)
+        state, _ = _eval_start(params, jax.random.PRNGKey(seed))
+        fn = make_rollout_fn(spec, rbc_policy, n_steps, auto_reset=False,
+                             collect=False)
+        _, (rewards, _) = fn(params, state)
+        return float(rewards.sum())
+
+    def run(iters=40, seed=0, log_every=10, theta=None):
         key = jax.random.PRNGKey(seed)
-        theta = init_theta(key)
+        if theta is None:
+            theta = init_theta(key)
         opt_state = optimizer.init(theta)
 
         env_keys = jax.random.split(jax.random.fold_in(key, 1), batch)
@@ -177,6 +232,8 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
                 )
         return theta, history
 
+    run.eval_greedy = eval_greedy
+    run.rbc_baseline = rbc_baseline
     return run
 
 
@@ -190,6 +247,14 @@ def main():
     parser.add_argument("--cpu", action="store_true",
                         help="pin the CPU backend (safe to run while another "
                              "process holds the TPU relay)")
+    parser.add_argument("--eval-steps", type=int, default=1000,
+                        help="greedy-policy vs RBC evaluation slice length")
+    parser.add_argument("--until-beats-rbc", action="store_true",
+                        help="keep training in --iters blocks until the "
+                             "greedy policy's eval return exceeds RBC on "
+                             "the same slice (or --max-blocks)")
+    parser.add_argument("--max-blocks", type=int, default=20)
+    parser.add_argument("--entropy-coef", type=float, default=0.01)
     args = parser.parse_args()
 
     if args.cpu:
@@ -205,14 +270,40 @@ def main():
 
     run = build_training(
         scenario=args.scenario, batch=args.batch, rollout_len=args.rollout_len,
-        mesh=mesh,
+        mesh=mesh, entropy_coef=args.entropy_coef,
     )
+    rbc_ret = run.rbc_baseline(n_steps=args.eval_steps)
+    print(f"RBC return over {args.eval_steps} eval steps: {rbc_ret:,.2f}",
+          flush=True)
+
     t0 = time.time()
-    theta, history = run(iters=args.iters)
-    steps = args.batch * args.rollout_len * args.iters
+    if args.until_beats_rbc:
+        theta = history = None
+        total_iters = 0
+        for block in range(args.max_blocks):
+            theta, hist = run(iters=args.iters, seed=block,
+                              theta=theta)
+            history = (history or []) + hist
+            total_iters += args.iters
+            pol_ret = run.eval_greedy(theta, n_steps=args.eval_steps)
+            dt = time.time() - t0
+            print(f"after {total_iters} iters ({dt:.1f}s): greedy policy "
+                  f"return {pol_ret:,.2f} vs RBC {rbc_ret:,.2f} "
+                  f"({'BEATS' if pol_ret > rbc_ret else 'below'})",
+                  flush=True)
+            if pol_ret > rbc_ret:
+                break
+        iters_done = total_iters
+    else:
+        theta, history = run(iters=args.iters)
+        iters_done = args.iters
+        pol_ret = run.eval_greedy(theta, n_steps=args.eval_steps)
+        print(f"greedy policy return over {args.eval_steps} eval steps: "
+              f"{pol_ret:,.2f} vs RBC {rbc_ret:,.2f}", flush=True)
+    steps = args.batch * args.rollout_len * iters_done
     dt = time.time() - t0
     print(
-        f"trained {args.iters} iters ({steps:,} env steps) in {dt:.1f}s "
+        f"trained {iters_done} iters ({steps:,} env steps) in {dt:.1f}s "
         f"({steps/dt/1e6:.2f}M steps/s); return {history[0]:.3f} -> {history[-1]:.3f}"
     )
 

@@ -17,6 +17,10 @@ def __getattr__(name):
         from pymgrid_tpu.algos.saa_jax import BatchedSAA
 
         return BatchedSAA
+    if name == "SuiteMPC":
+        from pymgrid_tpu.algos.mpc_suite import SuiteMPC
+
+        return SuiteMPC
     if name == "SampleAverageApproximation":
         from pymgrid_tpu.algos.saa import SampleAverageApproximation
 

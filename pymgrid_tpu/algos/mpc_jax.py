@@ -59,7 +59,8 @@ class ProblemTemplate:
     """
 
     def __init__(self, microgrid, iters=30, dtype=np.float64, relax_genset=False,
-                 matmul_precision="float32"):
+                 matmul_precision="float32", build_solver=True,
+                 newton_refine=None):
         import jax
         import jax.numpy as jnp
         from scipy import sparse
@@ -95,10 +96,21 @@ class ProblemTemplate:
             K_in = np.concatenate([K_in, np.asarray(min_rows.todense())], axis=0)
         self.n_in_rows = K_in.shape[0]
         self.matmul_precision = matmul_precision
-        self.solver = make_batched_ipm_solver(
-            K_eq, K_in, iters=iters, dtype=dtype,
-            x_scale=self._variable_scales(microgrid),
-            matmul_precision=matmul_precision,
+        # retained for heterogeneous stacking (SuiteMPC builds ONE solver
+        # over all scenarios' matrices)
+        self.K_eq_np = K_eq
+        self.K_in_np = K_in
+        self.x_scale_np = self._variable_scales(microgrid)
+        self.newton_refine = newton_refine
+        self.solver = (
+            make_batched_ipm_solver(
+                K_eq, K_in, iters=iters, dtype=dtype,
+                x_scale=self.x_scale_np,
+                newton_refine=newton_refine,
+                matmul_precision=matmul_precision,
+            )
+            if build_solver
+            else None
         )
 
         self.load_ref = next(m for m in self.spec.fixed if m.kind == "load")
@@ -232,6 +244,41 @@ class ProblemTemplate:
         """Per-step genset production (H,) from a solution vector."""
         return x[0 :: self.block]
 
+    def make_candidate_patterns(self, enum_bits):
+        """Build ``p_relax (H,) -> (2**k, H)`` status patterns around the
+        rounded relaxation.
+
+        The base pattern rounds each step to the *nearer* branch of the
+        semi-continuity gap (off below p_min/2, on above) — interior-point
+        noise (p ~ 1e-3) must round to off, not on.  The k most ambiguous
+        steps (largest distance-to-endpoint score) get enumerated.
+        """
+        import jax.numpy as jnp
+        from jax import lax
+
+        H, dtype = self.horizon, self.dtype
+        k_bits = min(enum_bits, H)
+        n_combos = 2 ** k_bits
+        combo_table = np.array(
+            [[(e >> k) & 1 for k in range(k_bits)] for e in range(n_combos)],
+            dtype=np.float64,
+        )
+        p_min = self.p_genset_min
+        tol = 1e-7 * max(p_min, 1.0)
+
+        def candidate_patterns(p_relax):
+            on_base = (p_relax > 0.5 * p_min).astype(dtype)
+            fractional = (p_relax > tol) & (p_relax < p_min - tol)
+            score = jnp.where(
+                fractional, jnp.minimum(p_relax, p_min - p_relax), -1.0
+            )
+            _, chosen = lax.top_k(score, k_bits)
+            combos = jnp.asarray(combo_table, dtype)
+            u_all = jnp.broadcast_to(on_base, (n_combos, H))
+            return u_all.at[:, chosen].set(combos)
+
+        return candidate_patterns
+
     def make_genset_refiner(self, enum_bits=5, enum_chunk=8):
         """Build ``refine(c, b, h) -> (x, u, objective)`` (batched on axis 0):
         solve the LP relaxation, enumerate the ``2^k`` status patterns over
@@ -251,34 +298,12 @@ class ProblemTemplate:
         H, dtype = self.horizon, self.dtype
         k_bits = min(enum_bits, H)
         n_combos = 2 ** k_bits
-        combo_table = np.array(
-            [[(e >> k) & 1 for k in range(k_bits)] for e in range(n_combos)],
-            dtype=np.float64,
-        )
         chunk = max(1, min(enum_chunk, n_combos))
         if n_combos % chunk:
             chunk = 1 << (chunk.bit_length() - 1)  # powers of 2 always divide
         n_chunks = n_combos // chunk
-        p_min = self.p_genset_min
-        tol = 1e-7 * max(p_min, 1.0)
 
-        def candidate_patterns(p_relax):
-            """(n_combos, H) status patterns around the rounded relaxation.
-
-            The base pattern rounds each step to the *nearer* branch of the
-            semi-continuity gap (off below p_min/2, on above) — interior-point
-            noise (p ~ 1e-3) must round to off, not on.  The k most ambiguous
-            steps (largest distance-to-endpoint score) get enumerated.
-            """
-            on_base = (p_relax > 0.5 * p_min).astype(dtype)
-            fractional = (p_relax > tol) & (p_relax < p_min - tol)
-            score = jnp.where(
-                fractional, jnp.minimum(p_relax, p_min - p_relax), -1.0
-            )
-            _, chosen = lax.top_k(score, k_bits)
-            combos = jnp.asarray(combo_table, dtype)
-            u_all = jnp.broadcast_to(on_base, (n_combos, H))
-            return u_all.at[:, chosen].set(combos)
+        candidate_patterns = self.make_candidate_patterns(enum_bits)
 
         def refine(c, b, h):
             B = c.shape[0]
@@ -442,7 +467,8 @@ class BatchedMPC:
     def __init__(self, microgrid, batch_size=1, iters=30, dtype=np.float64,
                  relax_genset=False, enum_bits=5, enum_chunk=8,
                  host_fallback=True, residual_tol=None, repair_balance=True,
-                 outage_aware_repair=False, matmul_precision="float32"):
+                 outage_aware_repair=False, matmul_precision="float32",
+                 newton_refine=None):
         """``host_fallback``: when the on-chip IPM reports a primal residual
         above ``residual_tol`` for a replica, re-solve that replica's problem
         exactly with host HiGHS before acting (graceful degradation; the
@@ -455,7 +481,7 @@ class BatchedMPC:
         self.batch_size = batch_size
         self.template = ProblemTemplate(
             microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset,
-            matmul_precision=matmul_precision,
+            matmul_precision=matmul_precision, newton_refine=newton_refine,
         )
         self._host_mpc = self.template.host_mpc
         self.spec = self.template.spec

@@ -24,6 +24,31 @@ from pymgrid_tpu.core.tables import ensure_tables
 
 __all__ = ["BatchedDiscreteEnv", "BatchedContinuousEnv"]
 
+def _shard_inputs(env, states, action_seq, seq_spec):
+    """Place host rollout inputs onto the env's mesh.
+
+    Single-process: plain ``device_put``.  Multi-process: the action block
+    is assembled per-process via ``make_array_from_callback`` (a
+    ``device_put`` onto a process-spanning sharding is rejected by jax);
+    states already carry the global sharding from ``reset``.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    seq_sharding = NamedSharding(env.mesh, seq_spec)
+    if jax.process_count() > 1:
+        host_seq = np.asarray(action_seq)
+        action_seq = jax.make_array_from_callback(
+            host_seq.shape, seq_sharding, lambda idx: host_seq[idx]
+        )
+        return states, action_seq
+    action_seq = jax.device_put(action_seq, seq_sharding)
+    states = jax.device_put(states, env._state_sharding)
+    return states, action_seq
+
+
+
 
 def _fused_rollout(env, states, action_seq, keep_logs, keep_obs=True):
     """Run a whole action sequence as ONE device program.
@@ -149,14 +174,11 @@ class BatchedDiscreteEnv:
                 f"got {action_seq.shape}"
             )
         if self._state_sharding is not None:
-            # batch-shard host inputs onto the mesh (time axis replicated)
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            action_seq = jax.device_put(
-                action_seq, NamedSharding(self.mesh, P(None, "batch"))
+            states, action_seq = _shard_inputs(
+                self, states, action_seq, P(None, "batch")
             )
-            states = jax.device_put(states, self._state_sharding)
         return _fused_rollout(self, states, action_seq, keep_logs, keep_obs)
 
     def reset(self, seed=0):
@@ -294,13 +316,11 @@ class BatchedContinuousEnv:
                 f"{self.action_dim}), got {action_seq.shape}"
             )
         if self._state_sharding is not None:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            action_seq = jax.device_put(
-                action_seq, NamedSharding(self.mesh, P(None, "batch"))
+            states, action_seq = _shard_inputs(
+                self, states, action_seq, P(None, "batch")
             )
-            states = jax.device_put(states, self._state_sharding)
         return _fused_rollout(self, states, action_seq, keep_logs, keep_obs)
 
     def reset(self, seed=0):

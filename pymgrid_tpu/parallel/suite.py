@@ -51,9 +51,13 @@ def _neutral_genset(initial_step=0):
     )
 
 
-def normalize_to_superset(microgrid, horizon=None):
+def normalize_to_superset(microgrid, horizon=None, include_genset=True):
     """Rebuild ``microgrid`` with modules in canonical order, inserting
-    neutral modules for absent kinds.  Returns a new host Microgrid."""
+    neutral modules for absent kinds.  Returns a new host Microgrid.
+
+    ``include_genset=False`` skips the neutral-genset insertion — used when
+    a whole suite group is genset-free, so the shared LP/engine structure
+    carries no dead genset slot (and MPC needs no MILP enumeration)."""
     import warnings
 
     from pymgrid_tpu.core.spec import _KINDS  # noqa: F401
@@ -104,6 +108,8 @@ def normalize_to_superset(microgrid, horizon=None):
                 ("grid", _neutral_grid(T, h or 0, forecaster, initial_step, final_step))
             )
         elif kind == "genset":
+            if not include_genset:
+                continue
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
                 ordered.append(("genset", _neutral_genset(initial_step)))
@@ -113,7 +119,7 @@ def normalize_to_superset(microgrid, horizon=None):
     return Microgrid(ordered, add_unbalanced_module=False)
 
 
-def build_suite(microgrids, dtype=np.float32):
+def build_suite(microgrids, dtype=np.float32, include_genset=True):
     """Extract one shared spec and config-stacked params from microgrids.
 
     Returns ``(spec, stacked_params)`` where every array in ``stacked_params``
@@ -123,7 +129,7 @@ def build_suite(microgrids, dtype=np.float32):
 
     specs, params_list = [], []
     for mg in microgrids:
-        normalized = normalize_to_superset(mg)
+        normalized = normalize_to_superset(mg, include_genset=include_genset)
         spec, params, _ = extract_spec(normalized, dtype=dtype)
         specs.append(spec)
         params_list.append(params)

@@ -22,6 +22,9 @@ TINY = {
     "PYMGRID_BENCH_REPEATS": "1",
     "PYMGRID_BENCH_RL_BATCH": "8",
     "PYMGRID_BENCH_RL_STEPS": "3",
+    "PYMGRID_BENCH_RL_LOOP_STEPS": "3",
+    "PYMGRID_BENCH_PALLAS_BATCH": "1024",
+    "PYMGRID_BENCH_PALLAS_STEPS": "5",
     "PYMGRID_BENCH_COLLECT_REPLICAS": "4",
     "PYMGRID_BENCH_COLLECT_STEPS": "5",
     "PYMGRID_BENCH_COLLECT_CONFIGS": "2",
@@ -53,7 +56,8 @@ def test_main_prints_complete_json(bench, capsys):
     assert result["unit"] == "env_steps/s/chip"
     for field in ("value", "vs_baseline", "rl_env_steps_per_sec",
                   "rl_fused_steps_per_sec", "continuous_env_steps_per_sec",
-                  "collect_steps_per_sec"):
+                  "collect_steps_per_sec", "pallas_steps_per_sec",
+                  "engine_sweep_steps_per_sec"):
         assert result[field] > 0, field
     assert result["n_configs"] == 2
     assert result["total_envs"] == 8

@@ -41,6 +41,14 @@ def main():
     parser.add_argument("--matmul-precision", default="float32",
                         choices=["bfloat16", "tensorfloat32", "float32"],
                         help="TPU MXU pass count in the on-chip LP solves")
+    parser.add_argument("--ipm-iters", type=int, default=None,
+                        help="IPM iterations for chip LP solves (default: "
+                             "30; --mpc-suite defaults to 60 — the f32 "
+                             "sharpening that collapses degenerate-vertex "
+                             "drift, docs/parity.md #12)")
+    parser.add_argument("--newton-refine", type=int, default=None,
+                        help="iterative-refinement rounds per Newton solve "
+                             "(default 1 at f32; --mpc-suite defaults to 2)")
     parser.add_argument("--scan-chunk", type=int, default=None,
                         help="engine-steps per device execution (default: "
                              "4000 grid-only, 500 genset, halved per "
@@ -53,6 +61,11 @@ def main():
                         help="regenerate the full-year MPC table ON CHIP "
                              "(BatchedMPC, one lax.scan per scenario) -> "
                              "RESULTS_CHIP.md")
+    parser.add_argument("--mpc-suite", action="store_true",
+                        help="regenerate the full-year MPC table ON CHIP as "
+                             "ONE batched program over all scenarios "
+                             "(SuiteMPC: heterogeneous batched IPM, year "
+                             "under lax.scan) -> RESULTS_CHIP.md")
     parser.add_argument("--scaling", action="store_true",
                         help="virtual-device scaling table (suite env-steps/s "
                              "at 1/2/4/8 CPU devices, fresh subprocess each) "
@@ -77,6 +90,8 @@ def main():
         return run_saa(args)
     if args.mpc_chip:
         return run_mpc_chip(args)
+    if args.mpc_suite:
+        return run_mpc_suite(args)
 
     # run on CPU: full-year f64 scans are fast there and this avoids
     # contending for the (single, tunneled) TPU with other work
@@ -509,7 +524,85 @@ def run_mpc_chip(args):
     sidecar.unlink(missing_ok=True)  # table written; crash insurance done
 
 
-def _write_chip_report(rows, enum_bits, out=None):
+
+def run_mpc_suite(args):
+    """All-scenario chip MPC table from ONE batched program (SuiteMPC)."""
+    import warnings
+
+    import numpy as np
+
+    warnings.filterwarnings("ignore")
+
+    from pymgrid_tpu import Microgrid
+    from pymgrid_tpu.algos.mpc_suite import SuiteMPC
+
+    scenarios = (
+        [int(s) for s in args.scenarios.split(",")]
+        if args.scenarios
+        else list(range(25))
+    )
+
+    def mark(msg):
+        print(f"[suite-mpc {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+    from pymgrid_tpu.modules import GensetModule
+
+    t0 = time.time()
+    mgs = {n: Microgrid.from_scenario(n) for n in scenarios}
+    has_genset = {
+        n: any(isinstance(m, GensetModule) for m in mg.modules.iterlist())
+        for n, mg in mgs.items()
+    }
+    # genset-free scenarios run as their own group: no neutral-genset slot,
+    # no MILP enumeration -> ~9x fewer LP solves per step for that group
+    groups = [
+        [n for n in scenarios if not has_genset[n]],
+        [n for n in scenarios if has_genset[n]],
+    ]
+    rows_by_n = {}
+    for group in groups:
+        if not group:
+            continue
+        mark(f"building SuiteMPC group {group} (enum_bits={args.enum_bits})")
+        g0 = time.time()
+        suite = SuiteMPC([mgs[n] for n in group], dtype=np.float32,
+                         enum_bits=args.enum_bits,
+                         enum_chunk=args.enum_chunk,
+                         iters=args.ipm_iters or 60,
+                         newton_refine=(2 if args.newton_refine is None
+                                        else args.newton_refine),
+                         matmul_precision=args.matmul_precision)
+        chunk = args.scan_chunk if args.scan_chunk is not None else (
+            500 if not suite.include_genset else 100)
+        mark(f"group of {len(group)}: compiling + scanning year "
+             f"({suite.n_steps_year} steps, chunk {chunk})")
+        rewards, _ = suite.run_scanned(chunk=chunk, progress=mark)
+        gwall = time.time() - g0
+        costs = -rewards.sum(axis=0)
+        for i, n in enumerate(group):
+            rows_by_n[n] = (n, float(costs[i]), rewards.shape[0],
+                            gwall / len(group))
+            print(f"scenario {n}: suite-MPC {float(costs[i]):,.2f} "
+                  f"({rewards.shape[0]} steps)", flush=True)
+        mark(f"group wall {gwall:.1f}s for {len(group)} scenario-years")
+    wall = time.time() - t0
+    rows = [rows_by_n[n] for n in scenarios]
+    mark(f"total wall {wall:.1f}s for {len(scenarios)} scenario-years "
+         f"({wall / len(scenarios):.1f}s/scenario amortized)")
+    _write_chip_report(
+        rows, args.enum_bits,
+        extra_note=(
+            f"Generated by `--mpc-suite`: ONE batched program runs every "
+            f"scenario's planner+simulator together (heterogeneous batched "
+            f"IPM, `pymgrid_tpu/algos/mpc_suite.py`); total wall "
+            f"{wall:.1f} s for {len(scenarios)} scenario-years — the s "
+            f"column is amortized."
+        ),
+    )
+
+
+def _write_chip_report(rows, enum_bits, out=None, extra_note=None):
     """Write RESULTS_CHIP.md from (scenario, cost, steps, dt) rows, with
     measured deltas against the host f64 table (exercised on CPU by
     tests/test_bench_smoke.py)."""
@@ -541,6 +634,8 @@ def _write_chip_report(rows, enum_bits, out=None):
         "HiGHS table (RESULTS.md, same formulation; f64 on-chip parity is",
         "separately gated at 1e-4 in tests/test_lp_mpc.py).",
     ]
+    if extra_note:
+        header += ["", extra_note]
     if deltas:
         total_chip = sum(cost for n, cost, _, _ in rows if n in host_costs)
         total_host = sum(host_costs[n] for n, *_ in rows if n in host_costs)
