@@ -60,7 +60,7 @@ class ProblemTemplate:
 
     def __init__(self, microgrid, iters=30, dtype=np.float64, relax_genset=False,
                  matmul_precision="float32", build_solver=True,
-                 newton_refine=None):
+                 newton_refine=None, solver_kind="ipm"):
         import jax
         import jax.numpy as jnp
         from scipy import sparse
@@ -102,8 +102,16 @@ class ProblemTemplate:
         self.K_in_np = K_in
         self.x_scale_np = self._variable_scales(microgrid)
         self.newton_refine = newton_refine
+        if solver_kind == "box":
+            # box-structure fast path: 48x48 normal equations + feasibility
+            # polish (core/lp.py make_batched_box_ipm_solver)
+            from pymgrid_tpu.core.lp import make_batched_box_ipm_solver
+
+            factory = make_batched_box_ipm_solver
+        else:
+            factory = make_batched_ipm_solver
         self.solver = (
-            make_batched_ipm_solver(
+            factory(
                 K_eq, K_in, iters=iters, dtype=dtype,
                 x_scale=self.x_scale_np,
                 newton_refine=newton_refine,

@@ -57,7 +57,8 @@ class BatchedSAA:
                  iters=30, dtype=np.float64, relax_genset=False,
                  forecast_args=None, sampling_args=None, samples=None,
                  preset_to_use=None, enum_bits=5, enum_chunk=8,
-                 matmul_precision="float32"):
+                 matmul_precision="float32", newton_refine=None,
+                 solver_kind="ipm"):
         import jax
         import jax.numpy as jnp
 
@@ -72,7 +73,8 @@ class BatchedSAA:
         self.enum_chunk = enum_chunk
         self.template = ProblemTemplate(
             microgrid, iters=iters, dtype=dtype, relax_genset=relax_genset,
-            matmul_precision=matmul_precision,
+            matmul_precision=matmul_precision, newton_refine=newton_refine,
+            solver_kind=solver_kind,
         )
         self.spec = self.template.spec
         self.params = self.template.params

