@@ -663,6 +663,9 @@ class BatchedMPC:
         import numpy as np
         from jax import lax
 
+        from pymgrid_tpu.utils.relay_guard import check_relay_scan
+
+        check_relay_scan(self._dtype, n_steps, chunk)
         states = self.reset(seed)
         seg = n_steps if chunk is None else min(chunk, n_steps)
 

@@ -293,7 +293,10 @@ class SuiteMPC:
         import jax
         from jax import lax
 
+        from pymgrid_tpu.utils.relay_guard import check_relay_scan
+
         n_steps = self.n_steps_year if n_steps is None else n_steps
+        check_relay_scan(self.dtype, n_steps, chunk)
         states = self.reset(seed)
         seg = n_steps if chunk is None else min(chunk, n_steps)
 

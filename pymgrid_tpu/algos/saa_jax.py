@@ -224,8 +224,11 @@ class BatchedSAA:
         import jax
         from jax import lax
 
+        from pymgrid_tpu.utils.relay_guard import check_relay_scan
+
         max_steps = self.sample_length - self.horizon
         n_steps = max_steps if n_steps is None else min(n_steps, max_steps)
+        check_relay_scan(self._dtype, n_steps, chunk)
         seg = n_steps if chunk is None else min(chunk, n_steps)
 
         state = self.reset(seed)

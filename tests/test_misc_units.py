@@ -184,3 +184,24 @@ def test_all_scenarios_smoke(n):
     assert len(env.get_log()) == 3
     env.reset()
     assert env.current_step == 0
+
+
+def test_relay_scan_guard():
+    """Known TPU-relay worker-kill modes raise actionable errors up front
+    (VERDICT r3 item 5) instead of crashing the worker + wedging the relay."""
+    import numpy as np
+    import pytest
+
+    from pymgrid_tpu.utils.relay_guard import check_relay_scan
+
+    # fine on CPU regardless
+    check_relay_scan(np.float64, 8759, 500, platform="cpu")
+    # f64 year-scan on the relayed chip: refuse with guidance
+    with pytest.raises(RuntimeError, match="float64 scans"):
+        check_relay_scan(np.float64, 8759, 500, platform="axon")
+    # short f64 probes stay allowed
+    check_relay_scan(np.float64, 500, 500, platform="axon")
+    # oversized single executions: refuse
+    with pytest.raises(RuntimeError, match="kill threshold"):
+        check_relay_scan(np.float32, 8759, 8759, platform="axon")
+    check_relay_scan(np.float32, 8759, 500, platform="axon")
