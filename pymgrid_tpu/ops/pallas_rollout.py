@@ -27,13 +27,15 @@ TILE = (8, 128)  # replicas per program instance (f32 VPU tile)
 
 
 def supported_spec(spec):
-    """This kernel covers the load+pv+battery+grid+balancing structure."""
+    """Covers the load+pv+battery[+genset]+grid+balancing families —
+    both pymgrid25 shapes with a grid (the genset machine runs branchless
+    per lane; genset-only configs would need a neutral grid)."""
     return (
         spec.n_load == 1
         and spec.n_renewable == 1
         and spec.n_battery == 1
         and spec.n_grid == 1
-        and spec.n_genset == 0
+        and spec.n_genset <= 1
         and spec.n_balancing == 1
         and all(m.custom_fn is None for m in spec.modules)
     )
@@ -43,8 +45,10 @@ def make_pallas_rbc_rollout(spec, params, n_steps, interpret=False):
     """Build ``rollout(init_charge (B,)) -> cumulative_reward (B,)``.
 
     ``B`` must be a multiple of 1024.  Uses the marginal-cost RBC policy
-    (battery-first iff cycle cost < initial import price, as the host RBC
-    orders it) and accumulates the per-step balance reward.
+    (static deployment order by marginal cost, as the host RBC orders it;
+    genset state machine branchless per lane via
+    :func:`pymgrid_tpu.core.physics.genset_update_status`) and accumulates
+    the per-step balance reward.
     """
     import jax
     import jax.numpy as jnp
@@ -76,12 +80,36 @@ def make_pallas_rbc_rollout(spec, params, n_steps, interpret=False):
     loss_cost = float(params["balancing"]["loss_load_cost"][0])
     over_cost = float(params["balancing"]["overgeneration_cost"][0])
 
+    has_genset = spec.n_genset == 1
+    if has_genset:
+        pg = params["genset"]
+        g_min = float(pg["running_min_production"][0])
+        g_max = float(pg["running_max_production"][0])
+        g_cost = float(pg["genset_cost"][0])
+        g_co2 = float(pg["co2_per_unit"][0])
+        g_cost_co2 = float(pg["cost_per_unit_co2"][0])
+        g_start_up = int(pg["start_up_time"][0])
+        g_wind_down = int(pg["wind_down_time"][0])
+        g_abort = bool(pg["allow_abortion"][0])
+        g_init_status = int(pg["init_status"][0])
+        # reference dedupe keeps the genset-ON element only when
+        # running_min_production == 0 (priority_list.py:40-67)
+        g_goal = 1 if g_min == 0 else 0
+
     t0 = int(params["initial_step"])
-    battery_first = cycle < float(grid_ts[t0, 0])
+    # static marginal-cost deployment order (rbc.py:31-44 semantics)
+    costs = []
+    if has_genset:
+        costs.append(("genset", g_cost + g_cost_co2 * g_co2))
+    costs.append(("battery", cycle))
+    costs.append(("grid", float(grid_ts[t0, 0])))
+    deploy_order = [k for k, _ in sorted(costs, key=lambda kv: kv[1])]
+
+    from pymgrid_tpu.core import physics
 
     def kernel(load_ref, pv_ref, grid_ref, charge_ref, out_ref):
         def body(t, carry):
-            charge, acc = carry
+            charge, gcur, ggoal, gup, gdown, acc = carry
             load = -load_ref[t, 0]
             pv = pv_ref[t, 0]
             price_imp = grid_ref[t, 0]
@@ -90,7 +118,7 @@ def make_pallas_rbc_rollout(spec, params, n_steps, interpret=False):
             status = grid_ref[t, 3]
 
             # ---- marginal-cost RBC policy (vectorized over the tile) ----
-            remaining = load - pv  # scalar, broadcasts over the tile
+            remaining = jnp.full(TILE, load - pv, f32)
             max_prod_b = jnp.minimum(max_discharge, charge - min_cap) * eff
             max_cons_b = jnp.minimum(max_charge, max_cap - charge) / eff
             max_prod_g = max_imp * status
@@ -104,14 +132,42 @@ def make_pallas_rbc_rollout(spec, params, n_steps, interpret=False):
                     near0, 0.0, jnp.where(remaining > 0, produce, consume)
                 )
 
-            if battery_first:
-                a_b = deploy(remaining, max_prod_b, max_cons_b)
-                a_g = deploy(remaining - a_b, max_prod_g, max_cons_g)
-            else:
-                a_g = deploy(jnp.full(TILE, remaining, f32), max_prod_g, max_cons_g)
-                a_b = deploy(remaining - a_g, max_prod_b, max_cons_b)
+            a_b = a_g = a_gen = jnp.zeros(TILE, f32)
+            if has_genset:
+                # next-status predictor (policy side, rollout.py semantics)
+                nsf = physics.genset_next_status(
+                    gcur, gup, gdown, jnp.int32(g_goal), xp=jnp
+                ).astype(f32)
+            for kind in deploy_order:
+                if kind == "battery":
+                    a_b = deploy(remaining, max_prod_b, max_cons_b)
+                    remaining = remaining - a_b
+                elif kind == "grid":
+                    a_g = deploy(remaining, max_prod_g, max_cons_g)
+                    remaining = remaining - a_g
+                else:  # genset: produce-only, within predicted status bounds
+                    near0 = jnp.abs(remaining) <= 1e-4
+                    produce = jnp.clip(remaining, nsf * g_min, nsf * g_max)
+                    a_gen = jnp.where(
+                        near0, 0.0, jnp.where(remaining > 0, produce, 0.0)
+                    )
+                    remaining = remaining - a_gen
 
             # ---- dispatch ----
+            gen_prov = jnp.zeros(TILE, f32)
+            r_gen = jnp.zeros(TILE, f32)
+            if has_genset:
+                gcur, ggoal, gup, gdown = physics.genset_update_status(
+                    gcur, ggoal, gup, gdown,
+                    jnp.int32(g_goal),
+                    jnp.int32(g_start_up), jnp.int32(g_wind_down),
+                    g_abort, xp=jnp,
+                )
+                statusf = gcur.astype(f32)
+                gen_prov = physics.clip_source(
+                    a_gen, statusf * g_min, statusf * g_max, xp=jnp
+                )
+                r_gen = -(g_cost * gen_prov + g_cost_co2 * (g_co2 * gen_prov))
             # battery
             b_prov = jnp.maximum(a_b, 0.0)
             b_abs = jnp.maximum(-a_b, 0.0)
@@ -123,7 +179,7 @@ def make_pallas_rbc_rollout(spec, params, n_steps, interpret=False):
             g_abs = jnp.maximum(-a_g, 0.0)
             r_grid = -(price_imp + cost_co2 * co2k) * g_prov + price_exp * g_abs
             # flex: renewable then balancing
-            diff = (b_prov + g_prov) - (load + b_abs + g_abs)
+            diff = (gen_prov + b_prov + g_prov) - (load + b_abs + g_abs)
             needed = -diff
             pv_used = jnp.where(diff > 0, 0.0, jnp.minimum(pv, needed))
             resid = needed - pv_used
@@ -131,12 +187,30 @@ def make_pallas_rbc_rollout(spec, params, n_steps, interpret=False):
                 diff > 0, -over_cost * diff, -loss_cost * jnp.maximum(resid, 0.0)
             )
 
-            acc = acc + r_batt + r_grid + r_bal
-            return new_charge, acc
+            acc = acc + r_gen + r_batt + r_grid + r_bal
+            return new_charge, gcur, ggoal, gup, gdown, acc
 
         charge0 = charge_ref[0]
         acc0 = jnp.zeros(TILE, f32)
-        charge, acc = jax.lax.fori_loop(t0, t0 + n_steps, body, (charge0, acc0))
+        init_status = jnp.int32(g_init_status if has_genset else 0)
+        gcur0 = jnp.full(TILE, init_status, jnp.int32)
+        ggoal0 = jnp.full(TILE, init_status, jnp.int32)
+        gup0 = jnp.full(
+            TILE,
+            jnp.where(init_status == 1, 0,
+                      jnp.int32(g_start_up if has_genset else 0)),
+            jnp.int32,
+        )
+        gdown0 = jnp.full(
+            TILE,
+            jnp.where(init_status == 1,
+                      jnp.int32(g_wind_down if has_genset else 0), 0),
+            jnp.int32,
+        )
+        charge, _, _, _, _, acc = jax.lax.fori_loop(
+            t0, t0 + n_steps, body,
+            (charge0, gcur0, ggoal0, gup0, gdown0, acc0),
+        )
         out_ref[0] = acc
 
     def rollout(init_charge):

@@ -34,13 +34,34 @@ def test_pallas_rollout_matches_engine():
     np.testing.assert_allclose(acc[0], engine_total, rtol=1e-5)
 
 
-def test_pallas_rollout_rejects_genset_config():
-    from pymgrid_tpu.ops.pallas_rollout import make_pallas_rbc_rollout
+def test_pallas_rollout_genset_matches_engine():
+    """Genset-family kernel (r4 extension): branchless status machine per
+    lane; cumulative RBC reward matches the XLA engine (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
 
-    mg = pymgrid_tpu.Microgrid.from_scenario(1)  # has a genset
+    from pymgrid_tpu.core.engine import make_reset_fn
+    from pymgrid_tpu.core.rollout import make_marginal_cost_policy, make_rollout_fn
+    from pymgrid_tpu.ops.pallas_rollout import make_pallas_rbc_rollout, supported_spec
+
+    mg = pymgrid_tpu.Microgrid.from_scenario(1)  # genset + weak grid
     spec, params, _ = extract_spec(mg, dtype=np.float32)
-    with pytest.raises(NotImplementedError):
-        make_pallas_rbc_rollout(spec, params, 10)
+    assert supported_spec(spec)
+
+    n_steps = 150
+    rollout = make_pallas_rbc_rollout(spec, params, n_steps, interpret=True)
+    init = np.full(1024, float(params["battery"]["init_charge"][0]), np.float32)
+    acc = np.asarray(rollout(init))
+    assert np.unique(acc).size == 1
+
+    policy = make_marginal_cost_policy(spec)
+    jparams = jax.tree.map(jnp.asarray, params)
+    state = jax.jit(make_reset_fn(spec))(jparams, jax.random.PRNGKey(0))
+    fn = make_rollout_fn(spec, policy, n_steps, auto_reset=False, collect=False)
+    _, (rewards, _) = fn(jparams, state)
+    engine_total = float(np.asarray(rewards).sum())
+
+    np.testing.assert_allclose(acc[0], engine_total, rtol=2e-5)
 
 
 @pytest.mark.skipif(
