@@ -459,7 +459,10 @@ def run_saa(args):
     lines.append(f"| **total** | {totals} | |")
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}")
-    sidecar.unlink(missing_ok=True)  # table written; crash insurance done
+    if args.scenarios is None:
+        # full-table run complete; a --scenarios subset must keep the
+        # sidecar (other scenarios' rows live there for later --resume)
+        sidecar.unlink(missing_ok=True)
 
 
 def run_mpc_chip(args):
@@ -529,7 +532,8 @@ def run_mpc_chip(args):
               flush=True)
 
     _write_chip_report(rows, args.enum_bits)
-    sidecar.unlink(missing_ok=True)  # table written; crash insurance done
+    if args.scenarios is None:
+        sidecar.unlink(missing_ok=True)  # full table written
 
 
 
