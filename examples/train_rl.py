@@ -142,6 +142,30 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
         theta = optax.apply_updates(theta, updates)
         return theta, opt_state, states, obses, loss, mean_ret
 
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def train_chunk(theta, opt_state, params, states, obses, keys, start,
+                    n_iters):
+        """n_iters A2C iterations as ONE device program (lax.scan over the
+        whole rollout+grad+Adam update) — r4 trained at 0.07M env-steps/s
+        because every iteration paid a host/relay round trip (VERDICT r4
+        item 4); chunking keeps the learner device-resident."""
+        def body(carry, it):
+            theta, opt_state, states, obses, keys = carry
+            keys = jax.vmap(lambda k: jax.random.fold_in(k, it))(keys)
+            (loss, (states, obses, mean_ret)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(theta, params, states, obses, keys)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            theta = optax.apply_updates(theta, updates)
+            return (theta, opt_state, states, obses, keys), (loss, mean_ret)
+
+        carry = (theta, opt_state, states, obses, keys)
+        carry, (losses, mean_rets) = lax.scan(
+            body, carry, start + jnp.arange(n_iters)
+        )
+        theta, opt_state, states, obses, keys = carry
+        return theta, opt_state, states, obses, keys, losses, mean_rets
+
     @jax.jit
     def init_envs(params, keys):
         states = jax.vmap(reset_fn, in_axes=(None, 0))(params, keys)
@@ -201,11 +225,16 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
         _, (rewards, _) = fn(params, state)
         return float(rewards.sum())
 
-    def run(iters=40, seed=0, log_every=10, theta=None):
+    def run(iters=40, seed=0, log_every=10, theta=None, opt_state=None):
+        """Train ``iters`` iterations; dispatches the device-resident
+        ``train_chunk`` once per ``log_every`` iterations.  Returns
+        ``(theta, opt_state, history)`` so continuation blocks resume the
+        Adam moments instead of re-initializing them (ADVICE r4)."""
         key = jax.random.PRNGKey(seed)
         if theta is None:
             theta = init_theta(key)
-        opt_state = optimizer.init(theta)
+        if opt_state is None:
+            opt_state = optimizer.init(theta)
 
         env_keys = jax.random.split(jax.random.fold_in(key, 1), batch)
         if mesh is not None:
@@ -219,18 +248,21 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
         rollout_keys = jax.random.split(jax.random.fold_in(key, 2), batch)
 
         history = []
-        for it in range(iters):
-            rollout_keys = jax.vmap(lambda k: jax.random.fold_in(k, it))(rollout_keys)
-            theta, opt_state, states, obses, loss, mean_ret = train_step(
-                theta, opt_state, params, states, obses, rollout_keys
+        chunk = max(1, min(log_every, iters))
+        it = 0
+        while it < iters:
+            n = min(chunk, iters - it)
+            (theta, opt_state, states, obses, rollout_keys, losses,
+             mean_rets) = train_chunk(theta, opt_state, params, states,
+                                      obses, rollout_keys, it, n)
+            mean_rets = np.asarray(mean_rets)
+            history.extend(float(r) for r in mean_rets)
+            print(
+                f"iter {it}..{it + n - 1}: loss={float(np.asarray(losses)[-1]):.4f} "
+                f"mean_return={float(mean_rets[-1]):.4f}", flush=True,
             )
-            history.append(float(mean_ret))
-            if it % log_every == 0:
-                print(
-                    f"iter {it}: loss={float(loss):.4f} "
-                    f"mean_return={float(mean_ret):.4f}", flush=True,
-                )
-        return theta, history
+            it += n
+        return theta, opt_state, history
 
     run.eval_greedy = eval_greedy
     run.rbc_baseline = rbc_baseline
@@ -255,6 +287,9 @@ def main():
                              "the same slice (or --max-blocks)")
     parser.add_argument("--max-blocks", type=int, default=20)
     parser.add_argument("--entropy-coef", type=float, default=0.01)
+    parser.add_argument("--log-every", type=int, default=10,
+                        help="iterations per device dispatch (one "
+                             "train_chunk lax.scan) and per progress line")
     args = parser.parse_args()
 
     if args.cpu:
@@ -278,11 +313,12 @@ def main():
 
     t0 = time.time()
     if args.until_beats_rbc:
-        theta = history = None
+        theta = opt_state = history = None
         total_iters = 0
         for block in range(args.max_blocks):
-            theta, hist = run(iters=args.iters, seed=block,
-                              theta=theta)
+            theta, opt_state, hist = run(iters=args.iters, seed=block,
+                                         theta=theta, opt_state=opt_state,
+                                         log_every=args.log_every)
             history = (history or []) + hist
             total_iters += args.iters
             pol_ret = run.eval_greedy(theta, n_steps=args.eval_steps)
@@ -295,7 +331,7 @@ def main():
                 break
         iters_done = total_iters
     else:
-        theta, history = run(iters=args.iters)
+        theta, _, history = run(iters=args.iters, log_every=args.log_every)
         iters_done = args.iters
         pol_ret = run.eval_greedy(theta, n_steps=args.eval_steps)
         print(f"greedy policy return over {args.eval_steps} eval steps: "

@@ -34,9 +34,13 @@ def check_relay_scan(dtype, n_steps, chunk, platform=None):
             f"(matmul_precision='float32' preserves quality — see "
             f"RESULTS_CHIP.md), or probe f64 with n_steps <= 1000."
         )
-    if chunk is not None and chunk > 4000:
+    # chunk=None means "run all n_steps in ONE device execution" for every
+    # caller (BatchedMPC/BatchedSAA/SuiteMPC run_scanned) — exactly the
+    # oversized-execution mode this guard exists to catch.
+    eff_chunk = n_steps if chunk is None else chunk
+    if eff_chunk is not None and eff_chunk > 4000:
         raise RuntimeError(
-            f"scan chunk {chunk} risks a single device execution beyond "
+            f"scan chunk {eff_chunk} risks a single device execution beyond "
             f"the relay's ~2-minute kill threshold (surfaces as 'TPU "
             f"worker crashed or restarted').  Use chunk <= 4000 for plain "
             f"engine scans and chunk <= 500 for solver-in-the-loop scans."

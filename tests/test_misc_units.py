@@ -205,3 +205,8 @@ def test_relay_scan_guard():
     with pytest.raises(RuntimeError, match="kill threshold"):
         check_relay_scan(np.float32, 8759, 8759, platform="axon")
     check_relay_scan(np.float32, 8759, 500, platform="axon")
+    # chunk=None means "whole scan in one device execution" to every caller
+    # (ADVICE r4): the oversized check must apply to n_steps then
+    with pytest.raises(RuntimeError, match="kill threshold"):
+        check_relay_scan(np.float32, 8759, None, platform="axon")
+    check_relay_scan(np.float32, 500, None, platform="axon")

@@ -572,9 +572,28 @@ def run_mpc_suite(args):
         [n for n in scenarios if not has_genset[n]],
         [n for n in scenarios if has_genset[n]],
     ]
+    # per-GROUP resume sidecar (ADVICE r4): a TPU worker crash mid-run used
+    # to discard every completed group; groups are the atomic unit here
+    sidecar = REPO / "RESULTS_CHIP.suite.partial.json"
+    config = {
+        "enum_bits": args.enum_bits,
+        "enum_chunk": args.enum_chunk,
+        "matmul_precision": args.matmul_precision,
+        "ipm_iters": args.ipm_iters or 60,
+        "newton_refine": (2 if args.newton_refine is None
+                          else args.newton_refine),
+        "scan_chunk": args.scan_chunk,
+    }
+    done = _load_sidecar(sidecar, config, args.resume, mark)
     rows_by_n = {}
     for group in groups:
         if not group:
+            continue
+        gkey = ",".join(map(str, group))
+        if gkey in done:
+            for n, cost, steps, dt in done[gkey]:
+                rows_by_n[n] = (n, cost, steps, dt)
+            mark(f"group {group}: resumed from sidecar")
             continue
         mark(f"building SuiteMPC group {group} (enum_bits={args.enum_bits})")
         g0 = time.time()
@@ -597,6 +616,8 @@ def run_mpc_suite(args):
                             gwall / len(group))
             print(f"scenario {n}: suite-MPC {float(costs[i]):,.2f} "
                   f"({rewards.shape[0]} steps)", flush=True)
+        done[gkey] = [list(rows_by_n[n]) for n in group]
+        _save_sidecar(sidecar, config, done)
         mark(f"group wall {gwall:.1f}s for {len(group)} scenario-years")
     wall = time.time() - t0
     rows = [rows_by_n[n] for n in scenarios]
@@ -612,6 +633,8 @@ def run_mpc_suite(args):
             f"column is amortized."
         ),
     )
+    if args.scenarios is None:
+        sidecar.unlink(missing_ok=True)
 
 
 def _write_chip_report(rows, enum_bits, out=None, extra_note=None):
