@@ -225,13 +225,15 @@ def bench_pallas_rollout(batch_size=131072, n_steps=2000, seed=0):
     return pallas_rate, engine_rate
 
 
-def bench_collect_rollout(replicas=256, n_steps=250, n_configs=25,
+def bench_collect_rollout(replicas=1024, n_steps=100, n_configs=25,
                           dtype=np.float32):
     """Log-materializing rollout: the full time-major StepOutput pytree
     (obs/reward/shaped_reward/done/log rows/balance scalars) written to HBM
-    every step, as a data-collection run would.  Sizes are smaller than the
-    throughput suite because the outputs live in HBM for the whole episode
-    (~200 f32 fields/step/env)."""
+    every step, as a data-collection run would.  The episode buffer is one
+    packed 384-lane row per env-step (suite.py collect mode), so 25
+    configs x 1024 replicas x 100 steps ~ 3.9 GB of HBM — big enough that
+    per-step op latency amortizes (r4 ran 6400 envs and was latency-bound
+    at 1.9 ms/step), small enough to fit comfortably."""
     from pymgrid_tpu import Microgrid
     from pymgrid_tpu.core.rollout import make_marginal_cost_policy
     from pymgrid_tpu.parallel.suite import SuiteRunner
@@ -352,8 +354,8 @@ def main():
         _mark("extras: collect rollout")
         result["collect_steps_per_sec"] = round(
             bench_collect_rollout(
-                replicas=int(os.environ.get("PYMGRID_BENCH_COLLECT_REPLICAS", 256)),
-                n_steps=int(os.environ.get("PYMGRID_BENCH_COLLECT_STEPS", 250)),
+                replicas=int(os.environ.get("PYMGRID_BENCH_COLLECT_REPLICAS", 1024)),
+                n_steps=int(os.environ.get("PYMGRID_BENCH_COLLECT_STEPS", 100)),
                 n_configs=int(os.environ.get("PYMGRID_BENCH_COLLECT_CONFIGS", n_configs)),
             ),
             1,

@@ -254,27 +254,45 @@ class SuiteRunner:
                     # outputs: a 4-D episode buffer's per-step write
                     # scalarizes into cfg*B tiny update-slices on TPU
                     # (measured); the 3-D (T, cfg*B, d) shape stores one
-                    # contiguous slab per step
+                    # contiguous slab per step.  Pack the WHOLE StepOutput
+                    # (obs | log row | 5 scalars) into one lane-padded row:
+                    # one episode buffer and one update-slice per step
+                    # instead of seven (the five (T, cfg*B) scalar buffers
+                    # each paid their own per-step store latency).
                     out = jax.tree.map(
                         lambda x: x.reshape((n_cfg * B,) + x.shape[2:]), out
                     )
-                    out = out._replace(
-                        obs=pad_lanes(out.obs), log_row=pad_lanes(out.log_row)
+                    dt = jnp.dtype(spec.dtype)
+                    scalars = jnp.stack(
+                        [out.reward, out.shaped_reward, out.done.astype(dt),
+                         out.provided, out.absorbed], axis=-1,
                     )
-                    return (states, acc), out
+                    row = jnp.concatenate(
+                        [out.obs, out.log_row, scalars], axis=-1
+                    )
+                    return (states, acc), pad_lanes(row)
                 return (states, acc), None
 
             (states, acc), outs = lax.scan(
                 body, (states, acc0), None, length=n_steps
             )
             if collect:
-                # ys are (T, cfg*B, ...): constrain time-major, strip lane
-                # padding, then restore the (cfg, B, T, ...) API layout
-                outs = outs._replace(
-                    obs=constrain_time_major(outs.obs, 0)[..., : spec.obs_dim],
-                    log_row=constrain_time_major(outs.log_row, 0)[
-                        ..., : spec.n_log_fields
-                    ],
+                # ys are (T, cfg*B, row): constrain time-major, unpack the
+                # row back into a StepOutput, then restore the
+                # (cfg, B, T, ...) API layout
+                rows = constrain_time_major(outs, 0)
+                d_obs, d_log = spec.obs_dim, spec.n_log_fields
+                base = d_obs + d_log
+                from pymgrid_tpu.core.engine import StepOutput
+
+                outs = StepOutput(
+                    obs=rows[..., :d_obs],
+                    reward=rows[..., base + 0],
+                    shaped_reward=rows[..., base + 1],
+                    done=rows[..., base + 2] != 0,
+                    log_row=rows[..., d_obs:base],
+                    provided=rows[..., base + 3],
+                    absorbed=rows[..., base + 4],
                 )
                 outs = jax.tree.map(
                     lambda x: jnp.moveaxis(
