@@ -502,19 +502,29 @@ def make_batched_box_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64,
         cc = c.reshape(k, S, n0) * col_scale_j[None, :, :]
         bb = b.reshape(k, S, me) * row_scale_j[None, :, :]
         lo, hi = bounds_from_h(h.reshape(k, S, mi))
-        # keep a strictly positive box width (degenerate bounds — genset
-        # off, grid outage — are re-imposed by the final clip)
+        # DEGENERATE boxes (genset-off production, outage grid flows) are
+        # PINNED: the variable sits inert at lo and is masked out of the
+        # barrier.  The previous width-floor + clamped interior start
+        # (s0 >= 1e-2, t >= 1e-2) initialized s + t != width, handing the
+        # variable a phantom ~2e-2-wide box the s/t update invariant then
+        # preserved — e.g. ~640 units of free "genset" energy at
+        # col_scale 6.4e4, which made infeasible off-patterns win the MILP
+        # enumeration with undershot objectives (r4's 5.3% chip-MPC drift).
+        pin_tol = jnp.asarray(1e-5, dtype)
+        pinned = (hi - lo) <= pin_tol * (1.0 + jnp.abs(hi))
+        free = 1.0 - pinned.astype(dtype)
         width = jnp.maximum(hi - lo, 1e-6 * (1.0 + jnp.abs(hi)))
         hi_w = lo + width
 
         c_mag = jnp.maximum(jnp.abs(cc).max(axis=2, keepdims=True), 1.0)
         cn = cc / c_mag
 
-        # strictly interior start
+        # strictly interior start (pinned variables get benign constants —
+        # every update below forces their deltas to zero)
         s0 = jnp.maximum(0.5 * width, 1e-2)
         x = lo + s0
-        s = s0
-        t = jnp.maximum(hi_w - x, 1e-2)
+        s = jnp.where(pinned, 1.0, s0)
+        t = jnp.where(pinned, 1.0, jnp.maximum(hi_w - x, 1e-2))
         scale = 1.0 + jnp.maximum(
             jnp.abs(bb).max(axis=2), jnp.abs(cn).max(axis=2)
         )[:, :, None]
@@ -523,14 +533,17 @@ def make_batched_box_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64,
         y = jnp.zeros((k, S, me), dtype)
 
         eye = jnp.eye(me, dtype=dtype)
-        two_n = 2.0 * n
+        two_n = jnp.maximum(2.0 * free.sum(axis=2, keepdims=True), 1.0)
+
+        def x_of(sv):
+            return lo + jnp.where(pinned, 0.0, sv)
 
         def merit(sv, tv, zv, wv, yv):
-            xv = lo + sv
+            xv = x_of(sv)
             r_b = mm_AT(xv) - bb
-            r_c = mm_A(yv) + zv - wv - cn
-            mu = ((sv * zv).sum(axis=2, keepdims=True)
-                  + (tv * wv).sum(axis=2, keepdims=True)) / two_n
+            r_c = free * (mm_A(yv) + zv - wv - cn)
+            mu = ((free * sv * zv).sum(axis=2, keepdims=True)
+                  + (free * tv * wv).sum(axis=2, keepdims=True)) / two_n
             return (
                 mu
                 + jnp.abs(r_b).max(axis=2, keepdims=True)
@@ -539,13 +552,13 @@ def make_batched_box_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64,
 
         def body(carry, _):
             s, t, z, w, y, best = carry
-            x = lo + s
+            x = x_of(s)
             r_b = mm_AT(x) - bb
             r_c = mm_A(y) + z - w - cn
-            mu = ((s * z).sum(axis=2, keepdims=True)
-                  + (t * w).sum(axis=2, keepdims=True)) / two_n
+            mu = ((free * s * z).sum(axis=2, keepdims=True)
+                  + (free * t * w).sum(axis=2, keepdims=True)) / two_n
 
-            d = 1.0 / jnp.clip(z / s + w / t, 1e-10, 1e10)
+            d = free / jnp.clip(z / s + w / t, 1e-10, 1e10)
             Ad = d[:, :, None, :] * A[None, :, :, :]
             M = jnp.einsum("ksmn,sln->ksml", Ad, A)
             M = M + 1e-11 * scale[:, :, :, None] * eye[None, None, :, :]
@@ -569,8 +582,8 @@ def make_batched_box_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64,
                     resid = rhs - jnp.einsum("ksml,ksl->ksm", M, dy)
                     dy = dy + chol_solve(resid)
                 dx = d * (mm_A(dy) + g)
-                dz = (rs - z * dx) / s
-                dw = (rt + w * dx) / t
+                dz = free * (rs - z * dx) / s
+                dw = free * (rt + w * dx) / t
                 return dx, dy, dz, dw
 
             def steps(dx, dz, dw):
@@ -590,8 +603,10 @@ def make_batched_box_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64,
             dx_a, dy_a, dz_a, dw_a = newton(-s * z, -t * w)
             a_p, a_d = steps(dx_a, dz_a, dw_a)
             mu_aff = (
-                ((s + a_p * dx_a) * (z + a_d * dz_a)).sum(axis=2, keepdims=True)
-                + ((t - a_p * dx_a) * (w + a_d * dw_a)).sum(axis=2, keepdims=True)
+                (free * (s + a_p * dx_a) * (z + a_d * dz_a)).sum(
+                    axis=2, keepdims=True)
+                + (free * (t - a_p * dx_a) * (w + a_d * dw_a)).sum(
+                    axis=2, keepdims=True)
             ) / two_n
             sigma = (mu_aff / mu) ** 3
 
@@ -644,11 +659,14 @@ def make_batched_box_ipm_solver(K_eq, K_in, iters=35, dtype=np.float64,
         # to NaN on most full-year problems (near-degenerate D makes the
         # projection unstable).  Residual-driven improvements belong in the
         # iteration loop, not a one-shot tail step.
-        x = jnp.clip(lo + s, lo, hi)  # exact (incl. degenerate) bounds
+        x = jnp.clip(x_of(s), lo, hi)  # exact (incl. degenerate) bounds
         r = jnp.abs(mm_AT(x) - bb).max(axis=2).reshape(B)
         x_out = (x * col_scale_j[None, :, :]).reshape(B, n0)
         obj = (c * x_out).sum(axis=1)
-        gap = ((s * z).sum(axis=2) + (t * w).sum(axis=2)).reshape(B) / two_n
+        gap = (
+            ((free * s * z).sum(axis=2, keepdims=True)
+             + (free * t * w).sum(axis=2, keepdims=True)) / two_n
+        ).reshape(B)
         return x_out, {"residual": r, "objective": obj, "gap": gap}
 
     return jax.jit(solve)

@@ -27,14 +27,15 @@ TILE = (8, 128)  # replicas per program instance (f32 VPU tile)
 
 
 def supported_spec(spec):
-    """Covers the load+pv+battery[+genset]+grid+balancing families —
-    both pymgrid25 shapes with a grid (the genset machine runs branchless
-    per lane; genset-only configs would need a neutral grid)."""
+    """Covers the load+pv+battery[+genset][+grid]+balancing families —
+    every pymgrid25 shape (the genset machine runs branchless per lane;
+    grid-less configs get a zero-capacity neutral grid slot whose deploys
+    and rewards are exactly 0)."""
     return (
         spec.n_load == 1
         and spec.n_renewable == 1
         and spec.n_battery == 1
-        and spec.n_grid == 1
+        and spec.n_grid <= 1
         and spec.n_genset <= 1
         and spec.n_balancing == 1
         and all(m.custom_fn is None for m in spec.modules)
@@ -63,7 +64,15 @@ def make_pallas_rbc_rollout(spec, params, n_steps, interpret=False):
     f32 = jnp.float32
     load_ts = np.asarray(params["load"]["ts"][0], np.float32)        # (T,1) negative
     pv_ts = np.asarray(params["renewable"]["ts"][0], np.float32)     # (T,1)
-    grid_ts = np.asarray(params["grid"]["ts"][0], np.float32)        # (T,4)
+    has_grid = spec.n_grid == 1
+    if has_grid:
+        grid_ts = np.asarray(params["grid"]["ts"][0], np.float32)    # (T,4)
+    else:
+        # neutral zero-capacity grid slot (parallel/suite.py semantics):
+        # zero prices/CO2, always up — caps of 0 make every deploy and
+        # reward term exactly +/-0.0
+        grid_ts = np.zeros((load_ts.shape[0], 4), np.float32)
+        grid_ts[:, 3] = 1.0
 
     pb = params["battery"]
     min_cap = float(pb["min_capacity"][0])
@@ -73,9 +82,12 @@ def make_pallas_rbc_rollout(spec, params, n_steps, interpret=False):
     eff = float(pb["efficiency"][0])
     cycle = float(pb["battery_cost_cycle"][0])
 
-    max_imp = float(params["grid"]["max_import"][0])
-    max_exp = float(params["grid"]["max_export"][0])
-    cost_co2 = float(params["grid"]["cost_per_unit_co2"][0])
+    if has_grid:
+        max_imp = float(params["grid"]["max_import"][0])
+        max_exp = float(params["grid"]["max_export"][0])
+        cost_co2 = float(params["grid"]["cost_per_unit_co2"][0])
+    else:
+        max_imp = max_exp = cost_co2 = 0.0
 
     loss_cost = float(params["balancing"]["loss_load_cost"][0])
     over_cost = float(params["balancing"]["overgeneration_cost"][0])

@@ -297,3 +297,38 @@ def test_ipm_matmul_precision_variants():
         )
         rel = abs(float(info["objective"][0]) - ref.fun) / max(1.0, abs(ref.fun))
         assert rel < 1e-5, f"{prec}: rel={rel}"
+
+
+def test_box_ipm_pins_degenerate_variables():
+    """A variable whose box collapses (hi == lo, e.g. genset-off
+    semi-continuity) must be PINNED: before the core/lp.py fix the clamped
+    interior start (s0, t0 >= 1e-2) handed it a phantom ~2e-2-wide box the
+    s/t update invariant preserved, so "solutions" carried free energy in
+    the fixed variable, objectives undershot the true optimum, and
+    infeasible genset patterns won the MILP enumeration (r4's 5.3% chip
+    drift, scenario 8)."""
+    from pymgrid_tpu.core.lp import make_batched_box_ipm_solver
+
+    # min x0 + 2 x1  s.t.  x0 + x1 = 10,  x0 <= u0 (varies), x1 <= 20
+    K_eq = np.array([[1.0, 1.0]])
+    K_in = np.array([[1.0, 0.0], [0.0, 1.0]])
+    for dtype in (np.float64, np.float32):
+        solver = make_batched_box_ipm_solver(
+            K_eq, K_in, iters=40, dtype=dtype, newton_refine=1,
+        )
+        c = np.array([[1.0, 2.0], [1.0, 2.0]], dtype)
+        b = np.array([[10.0], [10.0]], dtype)
+        # problem 0: x0 free up to 20; problem 1: x0 pinned at 0
+        h = np.array([[20.0, 20.0], [0.0, 20.0]], dtype)
+        x, info = solver(c, b, h)
+        x = np.asarray(x, np.float64)
+        np.testing.assert_allclose(x[0], [10.0, 0.0], atol=1e-3)
+        # pinned variable must be EXACTLY at its bound with the equality
+        # carried by x1 — no phantom box
+        assert x[1, 0] == 0.0
+        np.testing.assert_allclose(x[1, 1], 10.0, atol=1e-3)
+        assert float(np.asarray(info["residual"])[1]) < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(info["objective"], np.float64), [10.0, 20.0],
+            rtol=1e-3,
+        )
