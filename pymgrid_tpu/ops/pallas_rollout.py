@@ -12,10 +12,11 @@ all ``n_steps``, so per-step HBM traffic is zero — the time series
 (~250 KB/config) is loaded once.  The XLA-compiled engine
 (:mod:`pymgrid_tpu.core.engine`) remains the general path; this kernel is
 the speed-of-light reference for the RBC sweep workload — measured on a
-real chip (round 4, ``bench.py`` init-charge sweep, genuinely distinct
-per-replica trajectories): **578M env-steps/s vs 31.5M for the XLA engine
-on the identical workload (18x)**, and the full-year cost matches the f64
-reference to 1e-4 (tests/test_pallas_rollout.py, verified on hardware).
+real chip (BENCH_r04.json, ``bench.py`` init-charge sweep, genuinely
+distinct per-replica trajectories): **535M env-steps/s vs 31.5M for the
+XLA engine on the identical workload (17x)**, and the full-year cost
+matches the f64 reference to 1e-4 (tests/test_pallas_rollout.py, verified
+on hardware).
 """
 import functools
 
