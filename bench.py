@@ -205,22 +205,25 @@ def bench_pallas_rollout(batch_size=131072, n_steps=2000, seed=0):
     np.asarray(pallas_fn(init_j)[:8])
     pallas_rate = batch_size * n_steps / (time.perf_counter() - t0)
 
-    # identical workload through the XLA engine (policy + dispatch fused,
-    # rewards-only)
+    # identical workload through the XLA engine: the general lockstep-sweep
+    # path (scalar shared step in the scan carry, rewards accumulated, no
+    # episode buffers — core/rollout.py make_lockstep_sweep_fn; bitwise
+    # equal to vmap(make_rollout_fn) per step, tests/test_engine_equivalence)
+    from pymgrid_tpu.core.rollout import lockstep_states, make_lockstep_sweep_fn
+
     jparams = jax.tree.map(jnp.asarray, params)
     reset_fn = make_reset_fn(spec)
     keys = jax.random.split(jax.random.PRNGKey(seed), batch_size)
     states = jax.jit(jax.vmap(reset_fn, in_axes=(None, 0)))(jparams, keys)
     states = {**states, "battery_charge": init_j[:, None]}
     policy = make_marginal_cost_policy(spec)
-    fn = make_rollout_fn(spec, policy, n_steps, auto_reset=False,
-                         collect=False)
-    vfn = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
-    out = vfn(jparams, states)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]  # compile + run
+    sweep = make_lockstep_sweep_fn(spec, policy, n_steps)
+    ls = lockstep_states(spec, jparams, states)
+    _, acc = sweep(jparams, ls)
+    np.asarray(acc[:8])  # compile + run
     t0 = time.perf_counter()
-    out = vfn(jparams, states)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    _, acc = sweep(jparams, ls)
+    np.asarray(acc[:8])
     engine_rate = batch_size * n_steps / (time.perf_counter() - t0)
     return pallas_rate, engine_rate
 

@@ -14,6 +14,8 @@ from pymgrid_tpu.core.engine import make_reset_fn, make_step_fn
 __all__ = [
     "rollout_policy",
     "rollout_actions",
+    "make_lockstep_sweep_fn",
+    "lockstep_states",
     "make_priority_policy",
     "make_table_policy",
     "make_marginal_cost_policy",
@@ -66,6 +68,86 @@ def rollout_policy(spec, params, state, policy, n_steps, normalized=False,
         collect=collect,
     )
     return fn(params, state)
+
+
+def make_lockstep_sweep_fn(spec, policy, n_steps, normalized=False):
+    """Rollout for LOCKSTEP replica sweeps: every replica shares the same
+    simulated time, only per-replica state (battery charge, genset machine)
+    is batched.
+
+    The general path (``vmap(make_rollout_fn(...))``) carries ``step`` per
+    replica, so every time-series read lowers to a per-replica gather —
+    ~100 MB/step of redundant row traffic at 131k replicas — and the
+    vmapped scan stacks ``(B, T)`` episode buffers written one strided
+    column per step.  Here ``step`` (and, when no jax-PRNG gaussian
+    forecaster is present, the realized forecast) is a SHARED scan carry:
+    time-dependent rows are fetched once per step and broadcast, rewards
+    accumulate in the carry, and the program writes nothing per step —
+    the same contract as the Pallas kernel
+    (:mod:`pymgrid_tpu.ops.pallas_rollout`) but for ANY spec and policy.
+
+    Returns jitted ``(params, states) -> (final_states, cum_reward (B,))``
+    where ``states`` is a batched engine state whose ``step`` entry is a
+    scalar (see :func:`lockstep_states`).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    step_fn = make_step_fn(spec, normalized=normalized)
+
+    shared_forecast = spec.numpy_noise or not any(
+        m.forecaster == "gaussian" for m in spec.log_order
+    )
+    state_axes = {
+        "step": None,
+        "battery_charge": 0,
+        "genset": 0,
+        "rng": 0,
+        "forecast": None if shared_forecast else 0,
+    }
+
+    def step_one(params, state):
+        action = policy(params, state)
+        new_state, out = step_fn(params, state, action)
+        return new_state, out.reward
+
+    batched_step = jax.vmap(
+        step_one, in_axes=(None, state_axes), out_axes=(state_axes, 0)
+    )
+
+    def sweep(params, states):
+        B = states["battery_charge"].shape[0]
+        acc0 = jnp.zeros((B,), jnp.dtype(spec.dtype))
+
+        def body(carry, _):
+            states, acc = carry
+            states, reward = batched_step(params, states)
+            return (states, acc + reward), None
+
+        (states, acc), _ = lax.scan(
+            body, (states, acc0), None, length=n_steps
+        )
+        return states, acc
+
+    return jax.jit(sweep)
+
+
+def lockstep_states(spec, params, batched_states):
+    """Convert per-replica reset states (identical ``step``/forecast) into
+    the shared-time layout :func:`make_lockstep_sweep_fn` consumes."""
+    import jax
+
+    shared_forecast = spec.numpy_noise or not any(
+        m.forecaster == "gaussian" for m in spec.log_order
+    )
+    out = dict(batched_states)
+    out["step"] = jax.tree.map(lambda x: x[0], batched_states["step"])
+    if shared_forecast:
+        out["forecast"] = jax.tree.map(
+            lambda x: x[0], batched_states["forecast"]
+        )
+    return out
 
 
 def rollout_actions(spec, params, state, actions, normalized=False):

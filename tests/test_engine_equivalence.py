@@ -396,3 +396,49 @@ def test_engine_user_forecaster_nondeterministic_rejected():
     mg = _user_forecast_microgrid(64, noisy, 4)
     with pytest.raises(NotImplementedError, match="deterministic"):
         CompiledMicrogrid(mg, dtype=np.float64)
+
+
+def test_lockstep_sweep_bitwise_matches_vmapped_rollout():
+    """make_lockstep_sweep_fn (shared scalar step in the scan carry, reward
+    accumulated, no episode buffers — the general-engine counterpart of the
+    Pallas sweep kernel) is bitwise-equal per step to vmapping the general
+    rollout, on both the grid-only and genset families."""
+    import jax
+    import jax.numpy as jnp
+
+    import pymgrid_tpu
+    from pymgrid_tpu.core.engine import make_reset_fn
+    from pymgrid_tpu.core.rollout import (
+        lockstep_states,
+        make_lockstep_sweep_fn,
+        make_marginal_cost_policy,
+        make_rollout_fn,
+    )
+    from pymgrid_tpu.core.spec import extract_spec
+
+    for scen in (0, 1):
+        mg = pymgrid_tpu.Microgrid.from_scenario(scen)
+        spec, params, _ = extract_spec(mg, dtype=np.float64)
+        jparams = jax.tree.map(jnp.asarray, params)
+        B, T = 5, 60
+        reset_fn = make_reset_fn(spec)
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        states = jax.jit(jax.vmap(reset_fn, in_axes=(None, 0)))(jparams, keys)
+        pb = params["battery"]
+        init = jnp.linspace(float(pb["min_capacity"][0]),
+                            float(pb["max_capacity"][0]), B)
+        states = {**states, "battery_charge": init[:, None]}
+        policy = make_marginal_cost_policy(spec)
+
+        fn = make_rollout_fn(spec, policy, T, auto_reset=False, collect=False)
+        _, (rewards, _) = jax.jit(jax.vmap(fn, in_axes=(None, 0)))(
+            jparams, states)
+        rew = np.asarray(rewards)
+        ref = np.zeros(B)
+        for t in range(T):  # same left-fold order as the sweep's carry
+            ref = ref + rew[:, t]
+
+        sweep = make_lockstep_sweep_fn(spec, policy, T)
+        _, acc = sweep(jparams, lockstep_states(spec, jparams, states))
+        np.testing.assert_array_equal(np.asarray(acc), ref,
+                                      err_msg=f"scenario {scen}")
