@@ -1,20 +1,37 @@
-"""Pre-flight guards for known TPU-relay worker-kill modes.
+"""Pre-flight guards for the known TPU-relay worker-kill mode.
 
-Two program classes reproducibly crash the axon-relayed TPU worker instead
-of failing cleanly (r3 finding, CLAUDE.md): float64 year-scans (kernel
-fault) and oversized single executions (the relay kills device executions
-beyond ~2 minutes, surfacing as "TPU worker crashed or restarted" plus a
-~3-minute wedge for the next client).  These checks turn both into
-actionable errors *before* any device execution is dispatched.
+Measured boundary (round 5, ``tools/relay_probe.py``; one probe per fresh
+client process, crash = "TPU worker process crashed or restarted" plus a
+~3-minute relay wedge):
+
+| workload                      | single execution    | result |
+|---|---|---|
+| f64 engine scan, B=1024       | 8759 steps (0.85 s) | ok     |
+| f64 solver-in-loop (SuiteMPC) | 500 steps (~30-60s) | ok     |
+| f64 solver-in-loop            | 1000 steps (~2x)    | CRASH  |
+| f64 solver-in-loop            | 1500 steps          | CRASH  |
+| f32 solver-in-loop            | 4000 steps (7.5 s)  | ok     |
+
+So the killer is neither float64 per se (r3 folklore — a full f64
+engine-year runs in under a second) nor raw step count: it is the
+*duration* of one device execution, with the crash appearing between the
+~30-60 s of a 500-step f64 solver segment and its 1000-step double.  The
+thresholds below keep each solver execution in the measured-safe region
+with the solver's per-step cost folded in; plain engine scans have no
+observed limit and are not guarded.
 """
 import numpy as np
 
 __all__ = ["check_relay_scan"]
 
+# measured-safe single-execution step counts for solver-in-the-loop scans
+_SOLVER_CHUNK_LIMIT = {np.dtype(np.float64): 500, np.dtype(np.float32): 4000}
+
 
 def check_relay_scan(dtype, n_steps, chunk, platform=None):
-    """Raise with guidance when a chunked device scan is known to kill the
-    relayed TPU worker.
+    """Raise with guidance when a chunked solver-in-the-loop device scan
+    (BatchedMPC / BatchedSAA / SuiteMPC ``run_scanned``) is known to kill
+    the relayed TPU worker.
 
     ``platform`` defaults to the runtime backend; pass it explicitly in
     tests.
@@ -26,22 +43,16 @@ def check_relay_scan(dtype, n_steps, chunk, platform=None):
     if platform == "cpu":
         return
 
-    if np.dtype(dtype) == np.float64 and n_steps > 1000:
-        raise RuntimeError(
-            f"float64 scans of {n_steps} steps reproducibly crash the "
-            f"relayed TPU worker (kernel fault; ~3 min relay wedge).  Run "
-            f"float64 tables on CPU, use float32 on chip "
-            f"(matmul_precision='float32' preserves quality — see "
-            f"RESULTS_CHIP.md), or probe f64 with n_steps <= 1000."
-        )
     # chunk=None means "run all n_steps in ONE device execution" for every
-    # caller (BatchedMPC/BatchedSAA/SuiteMPC run_scanned) — exactly the
-    # oversized-execution mode this guard exists to catch.
+    # caller — exactly the oversized-execution mode this guard catches.
     eff_chunk = n_steps if chunk is None else chunk
-    if eff_chunk is not None and eff_chunk > 4000:
+    limit = _SOLVER_CHUNK_LIMIT.get(np.dtype(dtype), 500)
+    if eff_chunk is not None and eff_chunk > limit:
         raise RuntimeError(
-            f"scan chunk {eff_chunk} risks a single device execution beyond "
-            f"the relay's ~2-minute kill threshold (surfaces as 'TPU "
-            f"worker crashed or restarted').  Use chunk <= 4000 for plain "
-            f"engine scans and chunk <= 500 for solver-in-the-loop scans."
+            f"solver-in-the-loop scan chunk {eff_chunk} at {np.dtype(dtype)} "
+            f"exceeds the measured-safe single-execution limit of {limit} "
+            f"steps: the relay kills device executions beyond roughly a "
+            f"minute (tools/relay_probe.py capture, docs/relay_probes.md), "
+            f"surfacing as 'TPU worker crashed or restarted' plus a ~3 min "
+            f"wedge for the next client.  Pass chunk <= {limit}."
         )

@@ -195,18 +195,18 @@ def test_relay_scan_guard():
     from pymgrid_tpu.utils.relay_guard import check_relay_scan
 
     # fine on CPU regardless
-    check_relay_scan(np.float64, 8759, 500, platform="cpu")
-    # f64 year-scan on the relayed chip: refuse with guidance
-    with pytest.raises(RuntimeError, match="float64 scans"):
-        check_relay_scan(np.float64, 8759, 500, platform="axon")
-    # short f64 probes stay allowed
-    check_relay_scan(np.float64, 500, 500, platform="axon")
-    # oversized single executions: refuse
-    with pytest.raises(RuntimeError, match="kill threshold"):
+    check_relay_scan(np.float64, 8759, 8759, platform="cpu")
+    # measured boundary (docs/relay_probes.md): duration of one solver
+    # execution is the killer — f64 solver chunks cap at 500
+    check_relay_scan(np.float64, 8759, 500, platform="axon")
+    with pytest.raises(RuntimeError, match="measured-safe"):
+        check_relay_scan(np.float64, 8759, 1000, platform="axon")
+    # f32 solver chunks measured safe through 4000
+    check_relay_scan(np.float32, 8759, 4000, platform="axon")
+    with pytest.raises(RuntimeError, match="measured-safe"):
         check_relay_scan(np.float32, 8759, 8759, platform="axon")
-    check_relay_scan(np.float32, 8759, 500, platform="axon")
     # chunk=None means "whole scan in one device execution" to every caller
-    # (ADVICE r4): the oversized check must apply to n_steps then
-    with pytest.raises(RuntimeError, match="kill threshold"):
+    # (ADVICE r4): the limit must apply to n_steps then
+    with pytest.raises(RuntimeError, match="measured-safe"):
         check_relay_scan(np.float32, 8759, None, platform="axon")
     check_relay_scan(np.float32, 500, None, platform="axon")
