@@ -46,17 +46,19 @@ class SuiteMPC:
         control keeps the sharp-solve quality at a fraction of the
         triangular-solve count (the TPU IPM's latency floor).
 
-        ``tie_break_eps`` (default 1e-4 at float32, 0 at float64): the
-        storage LP has a structurally FLAT optimal face — shifting battery
-        discharge between horizon steps that genset/grid serve anyway is
-        cost-free — and the host HiGHS simplex lands on the
-        discharge-early vertex while an interior-point method converges to
-        the face's center, so closed-loop trajectories diverge over 8759
-        re-plans (r4's ±5% outlier scenarios).  A tiny cost bonus on EARLY
-        battery discharge (``-eps * (1 - j/H)`` on each discharge_j) tilts
-        the face toward the same vertex; measured on scenario 8 it cuts
-        >5% first-step divergences from 54/400 re-plans to 18/400 while
-        perturbing genuinely unique optima by <2e-5 relative."""
+        ``tie_break_eps`` (default 0 — an ABLATION option): the storage LP
+        has a structurally FLAT optimal face — shifting battery discharge
+        between horizon steps that genset/grid serve anyway is cost-free —
+        and the host HiGHS simplex lands on an arbitrary vertex while an
+        interior-point method converges to the face's center, so
+        closed-loop trajectories diverge over 8759 re-plans on the
+        degenerate scenarios.  ``eps > 0`` adds a cost bonus on EARLY
+        battery discharge (``-eps * (1 - j/H)`` on each discharge_j),
+        tilting the face toward a canonical vertex.  Measured full-year
+        (RESULTS_CHIP.md ablation): it moves scenario 8 from -10.98% to
+        -2.21% of the host table but scenario 2 from -0.33% to +5.24% —
+        HiGHS's vertex choice is per-problem pivot luck, no global
+        tie-break tracks it, so the published table runs eps=0."""
         import jax
         import jax.numpy as jnp
 
@@ -100,9 +102,7 @@ class SuiteMPC:
         self.enum_bits = enum_bits
         self.enum_chunk = enum_chunk
         self.repair_balance = repair_balance
-        if tie_break_eps is None:
-            tie_break_eps = 0.0 if self.dtype == np.float64 else 1e-4
-        self.tie_break_eps = float(tie_break_eps)
+        self.tie_break_eps = float(tie_break_eps or 0.0)
         n0 = self.templates[0].K_eq_np.shape[-1]
         bias = np.zeros((self.n_scenarios, n0), np.float64)
         if self.tie_break_eps:

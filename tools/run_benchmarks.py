@@ -49,6 +49,9 @@ def main():
     parser.add_argument("--newton-refine", type=int, default=None,
                         help="iterative-refinement rounds per Newton solve "
                              "(default 1 at f32; --mpc-suite defaults to 2)")
+    parser.add_argument("--tie-break-eps", type=float, default=None,
+                        help="SuiteMPC flat-face tie-break ablation "
+                             "(default off; see RESULTS_CHIP.md)")
     parser.add_argument("--scan-chunk", type=int, default=None,
                         help="engine-steps per device execution (default: "
                              "4000 grid-only, 500 genset, halved per "
@@ -559,6 +562,7 @@ def run_mpc_suite(args):
         "newton_refine": (2 if args.newton_refine is None
                           else args.newton_refine),
         "scan_chunk": args.scan_chunk,
+        "tie_break_eps": args.tie_break_eps,
     }
     done = _load_sidecar(sidecar, config, args.resume, mark)
     rows_by_n = {}
@@ -579,7 +583,8 @@ def run_mpc_suite(args):
                          iters=args.ipm_iters or 60,
                          newton_refine=(2 if args.newton_refine is None
                                         else args.newton_refine),
-                         matmul_precision=args.matmul_precision)
+                         matmul_precision=args.matmul_precision,
+                         tie_break_eps=args.tie_break_eps)
         chunk = args.scan_chunk if args.scan_chunk is not None else (
             500 if not suite.include_genset else 100)
         mark(f"group of {len(group)}: compiling + scanning year "
