@@ -61,8 +61,9 @@ def build_es(scenario=0, pop=256, sigma=0.05, lr=0.02, hidden=32,
         env = DiscreteMicrogridEnv.from_scenario(scenario)
         spec, params, _ = extract_spec(env, dtype=dtype)
         n_out = env.action_space.n
-    import jax as _jax  # noqa: F401
+    from pymgrid_tpu.core.tables import ensure_tables
 
+    params = ensure_tables(spec, params)  # one fused row gather per step
     params = jax.tree.map(jnp.asarray, params)
     obs_dim = spec.obs_dim
 

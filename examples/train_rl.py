@@ -40,6 +40,9 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
 
     env = DiscreteMicrogridEnv.from_scenario(scenario)
     spec, params, _ = extract_spec(env, dtype=dtype)
+    from pymgrid_tpu.core.tables import ensure_tables
+
+    params = ensure_tables(spec, params)  # one fused row gather per step
     params = jax.tree.map(jnp.asarray, params)
 
     n_actions = env.action_space.n
@@ -87,47 +90,56 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
         )
         return new_state, out
 
-    def single_rollout(theta, params, state, obs, key):
+    def loss_fn(theta, params, states, obses, keys):
+        """One A2C rollout + loss over the whole env batch.
+
+        The scan over rollout steps sits OUTSIDE the env vmap (r4 layout
+        playbook): the policy/value MLPs run as ONE (B, obs)-matmul per
+        step (MXU work instead of B vmapped matvecs) and the stacked
+        (T, B) buffers store one contiguous slab per step — vmapping a
+        per-env scan wrote strided (B, T) columns and capped training at
+        ~0.1M env-steps/s."""
+        batched_env_step = jax.vmap(env_step, in_axes=(None, 0, 0, None))
+
         def body(carry, _):
-            state, obs, key = carry
-            key, sub = jax.random.split(key)
-            logits = mlp(theta["policy"], obs.astype(jnp.float32))
-            action = jax.random.categorical(sub, logits)
+            states, obses, keys = carry
+            sp = jax.vmap(jax.random.split)(keys)          # (B, 2, 2)
+            keys, subs = sp[:, 0], sp[:, 1]
+            x = obses.astype(jnp.float32)
+            logits = mlp(theta["policy"], x)               # (B, A)
+            actions = jax.vmap(jax.random.categorical)(subs, logits)
             logp_all = jax.nn.log_softmax(logits)
-            logp = logp_all[action]
+            onehot = jax.nn.one_hot(actions, logp_all.shape[-1])
+            logp = (onehot * logp_all).sum(axis=-1)
             # categorical entropy: exploration pressure away from the
-            # RBC-mimicking local optimum (time-dependent orderings beat it)
-            entropy = -(jnp.exp(logp_all) * logp_all).sum()
-            value = mlp(theta["value"], obs.astype(jnp.float32))[0]
-            new_state, out = env_step(params, state, action, None)
-            return (new_state, out.obs, key), (
-                logp, value, out.reward * reward_scale, out.done, entropy
+            # RBC-mimicking local optimum
+            entropy = -(jnp.exp(logp_all) * logp_all).sum(axis=-1)
+            values = mlp(theta["value"], x)[:, 0]
+            states, outs = batched_env_step(params, states, actions, None)
+            return (states, outs.obs, keys), (
+                logp, values, outs.reward * reward_scale, outs.done, entropy
             )
 
-        (state, obs, _), (logps, values, rewards, dones, entropies) = lax.scan(
-            body, (state, obs, key), None, length=rollout_len
+        (states, obses, _), (logps, values, rewards, dones, entropies) = (
+            lax.scan(body, (states, obses, keys), None, length=rollout_len)
         )
-        # reward-to-go (no bootstrapping past done)
+
+        # reward-to-go (no bootstrapping past done); all buffers (T, B)
         def disc(carry, x):
             r, d = x
             carry = r + gamma * carry * (1.0 - d.astype(jnp.float32))
             return carry, carry
 
-        _, returns = lax.scan(disc, jnp.float32(0.0), (rewards, dones), reverse=True)
+        _, returns = lax.scan(
+            disc, jnp.zeros(rewards.shape[1], jnp.float32),
+            (rewards, dones), reverse=True,
+        )
         adv = lax.stop_gradient(returns) - values
         policy_loss = -(logps * lax.stop_gradient(adv)).mean()
         value_loss = (adv**2).mean()
-        return (
-            policy_loss + 0.5 * value_loss - entropy_coef * entropies.mean(),
-            (state, obs, returns.mean()),
-        )
-
-    def loss_fn(theta, params, states, obses, keys):
-        losses, aux = jax.vmap(
-            lambda s, o, k: single_rollout(theta, params, s, o, k),
-        )(states, obses, keys)
-        states, obses, mean_ret = aux
-        return losses.mean(), (states, obses, mean_ret.mean())
+        loss = (policy_loss + 0.5 * value_loss
+                - entropy_coef * entropies.mean())
+        return loss, (states, obses, returns.mean())
 
     import optax
 
