@@ -14,7 +14,29 @@ multiple of the 128-lane tile inside the loop, pin the stacked buffer to
 row-major, and slice the padding off once outside the loop.
 """
 
-__all__ = ["pad_lanes", "constrain_row_major", "constrain_time_major"]
+__all__ = ["pad_lanes", "constrain_row_major", "constrain_time_major",
+           "constrain_axis_major"]
+
+
+def constrain_axis_major(x, axis):
+    """Pin ``x`` to a layout with ``axis`` most-major (remaining axes in
+    row-major order).
+
+    Use on the OUTPUT of a many-operand stack/concatenate whose new axis
+    would otherwise be minor: the engine builds obs/log rows by stacking
+    ~330 per-field (cfg, B) arrays, and a feature-minor concatenate writes
+    every field with stride ``d`` (measured 3.5 ms/step on chip, 80% of a
+    collect rollout); feature-major makes it ``d`` contiguous block
+    copies.  No-op on CPU.
+    """
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        return x
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    order = (axis,) + tuple(i for i in range(x.ndim) if i != axis)
+    return with_layout_constraint(x, Layout(major_to_minor=order))
 
 
 def pad_lanes(x, lanes=128):
