@@ -1,22 +1,24 @@
 """Pallas TPU kernel: fused multi-step microgrid rollout.
 
-A hand-written kernel for the throughput-critical inner loop of a
-grid-connected, genset-free microgrid (the pymgrid25 ``microgrid_0`` family):
-rule-based policy + three-phase dispatch + battery state update, stepping the
-*entire horizon* inside one kernel invocation with the config's time series
-resident in VMEM.
+A hand-written kernel for the throughput-critical inner loop of every
+pymgrid25 family (grid-less configs get a neutral zero-capacity grid
+slot): rule-based policy + three-phase dispatch + battery state update,
+stepping the *entire horizon* inside one kernel invocation with the
+config's time series resident in VMEM.
 
 Layout: the grid is tiled over replicas; each program instance owns a
 ``(8, 128)`` replica tile whose battery charges live in registers/VMEM for
 all ``n_steps``, so per-step HBM traffic is zero — the time series
-(~250 KB/config) is loaded once.  The XLA-compiled engine
-(:mod:`pymgrid_tpu.core.engine`) remains the general path; this kernel is
-the speed-of-light reference for the RBC sweep workload — measured on a
-real chip (BENCH_r04.json, ``bench.py`` init-charge sweep, genuinely
-distinct per-replica trajectories): **535M env-steps/s vs 31.5M for the
-XLA engine on the identical workload (17x)**, and the full-year cost
-matches the f64 reference to 1e-4 (tests/test_pallas_rollout.py, verified
-on hardware).
+(~250 KB/config) is loaded once.  Measured on a real chip (``bench.py``
+init-charge sweep, genuinely distinct per-replica trajectories): **620M
+env-steps/s** (docs/captures/bench_r5_builder.log), full-year cost
+matching the f64 reference to 1e-4 (tests/test_pallas_rollout.py,
+verified on hardware).  History: in r4 this was 17x the then-general
+engine path (31.5M, BENCH_r04.json); the r5 lockstep sweep
+(:func:`pymgrid_tpu.core.rollout.make_lockstep_sweep_fn` — shared
+simulated time in the scan carry, zero per-step HBM) reaches 1.81B on the
+same workload, so the kernel now serves as the hand-written reference
+point rather than the fast path.
 """
 import functools
 
