@@ -316,9 +316,7 @@ def make_step_fn(spec, normalized=False, obs_layout="log"):
         raise ValueError(f"obs_layout must be 'log' or 'env', got {obs_layout!r}")
 
     row_layout, row_width = row_table_layout(spec)
-    _, _obs_width = obs_table_layout(spec)
     logfc_layout, _ = logfc_table_layout(spec)
-    logfc_base = row_width + _obs_width
 
     for ref in spec.fixed:
         if ref.kind != "load":
@@ -369,9 +367,18 @@ def make_step_fn(spec, normalized=False, obs_layout="log"):
         # in-engine policies (core/rollout.py), so XLA CSE leaves a single
         # gather per fused policy+step program.
         table_row = None
+        logfc_row = None
         if "step_table" in params:
             table_row = lax.dynamic_index_in_dim(
                 params["step_table"], t, axis=0, keepdims=False
+            )
+        if "logfc_table" in params:
+            # gathered from its OWN table so that programs which never
+            # materialize log rows (rewards-only rollouts) drop the whole
+            # log-forecast gather under DCE — fused into step_table it was
+            # ~40% of the per-step gather traffic for nothing
+            logfc_row = lax.dynamic_index_in_dim(
+                params["logfc_table"], t, axis=0, keepdims=False
             )
 
         def cur_row(kind, slot):
@@ -384,11 +391,11 @@ def make_step_fn(spec, normalized=False, obs_layout="log"):
             """Realized forecast window for the log row — from the fused
             table gather when tabulated (per-replica window gathers
             scalarize into while-loops on TPU), dynamic otherwise."""
-            if table_row is not None and (ref.name, ref.num) in logfc_layout:
+            if logfc_row is not None and (ref.name, ref.num) in logfc_layout:
                 off, width = logfc_layout[(ref.name, ref.num)]
-                return table_row[
-                    logfc_base + off : logfc_base + off + width
-                ].reshape(ref.forecast_horizon, ref.n_features)
+                return logfc_row[off : off + width].reshape(
+                    ref.forecast_horizon, ref.n_features
+                )
             return _realized_forecast(spec, params, state, ref, t)
 
         # --------------------------------------------------- phase 1: fixed

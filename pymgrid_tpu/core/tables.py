@@ -155,9 +155,11 @@ def build_tables(spec, params, config_axis=False):
         return jnp.concatenate(parts)
 
     if T == 0:
-        width = row_width + obs_width + logfc_width
+        width = row_width + obs_width
         shape = (1, width) if not config_axis else (1, 1, width)
-        return {"step_table": jnp.zeros(shape, dtype)}
+        lshape = (1, logfc_width) if not config_axis else (1, 1, logfc_width)
+        return {"step_table": jnp.zeros(shape, dtype),
+                "logfc_table": jnp.zeros(lshape, dtype)}
 
     ts_idx = jnp.arange(T, dtype=jnp.int32)
     tables = {}
@@ -171,18 +173,20 @@ def build_tables(spec, params, config_axis=False):
             over_t = jax.vmap(over_t, in_axes=(0, None))
         tables[name] = jax.jit(over_t)(params, ts_idx)
 
-    # One fused table: row t = [raw rows at t | normalized obs at t+1 |
-    # raw realized forecast windows at t].  The engine consumes
-    # observations only at new_t = t + 1, so shifting the obs columns lets
-    # a SINGLE per-replica gather at t serve the policy's current rows, the
-    # step's outgoing observation AND the log row's forecast fields; the
-    # final obs row repeats (matching the dynamic path's index clamping).
+    # The CORE table: row t = [raw rows at t | normalized obs at t+1].
+    # The engine consumes observations only at new_t = t + 1, so shifting
+    # the obs columns lets a SINGLE per-replica gather at t serve the
+    # policy's current rows AND the step's outgoing observation; the final
+    # obs row repeats (matching the dynamic path's index clamping).  The
+    # raw log-forecast windows live in their OWN table: rewards-only
+    # programs DCE that gather away entirely (fused in, it was ~40% of the
+    # per-step gather traffic — the dominant cost of a suite rollout).
     obs = tables["obs_table"]
     shifted = jnp.concatenate([obs[..., 1:, :], obs[..., -1:, :]], axis=-2)
     step_table = jnp.concatenate(
-        [tables["row_table"], shifted, tables["logfc_table"]], axis=-1
+        [tables["row_table"], shifted], axis=-1
     )
-    return {"step_table": step_table}
+    return {"step_table": step_table, "logfc_table": tables["logfc_table"]}
 
 
 def ensure_tables(spec, params, config_axis=False):
