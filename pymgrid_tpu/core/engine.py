@@ -185,6 +185,8 @@ def _realized_forecast(spec, params, state, ref, t):
         return state["forecast"][ref.kind][gslot][: ref.forecast_horizon]
     if ref.forecaster == "user":
         return _user_window(spec, params, ref, t)
+    if ref.forecaster == "user_bank":
+        return _user_bank_window(spec, params, ref, t)
     return _oracle_window(spec, params, ref, t)
 
 
@@ -209,6 +211,33 @@ def _numpy_noise_window(spec, params, ref, t):
     window = window + noise * mask
     return jnp.clip(
         window,
+        params[ref.kind]["obs_low"][ref.slot],
+        params[ref.kind]["obs_high"][ref.slot],
+    )
+
+
+def _user_bank_window(spec, params, ref, t):
+    """STOCHASTIC user forecast window from the pre-sampled realization
+    bank (``core/spec.py:_ts_params``): one host draw per step at spec
+    extraction, replayed by every engine episode.  Off-end rows revert to
+    the midpoint fill and the result clips to the observation bounds —
+    identical post-processing to the traced deterministic path."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    dtype = jnp.dtype(spec.dtype)
+    h, f = ref.forecast_horizon, ref.n_features
+    window = _oracle_window(spec, params, ref, t)
+    raw = lax.dynamic_slice(
+        params[ref.kind]["user_bank"][ref.slot],
+        (t, jnp.int32(0), jnp.int32(0)),
+        (1, h, f),
+    )[0].astype(dtype)
+    n_real = jnp.clip(ref.ts_length - 1 - t, 0, h)
+    mask = (jnp.arange(h) < n_real)[:, None]
+    out = jnp.where(mask, raw, window)
+    return jnp.clip(
+        out,
         params[ref.kind]["obs_low"][ref.slot],
         params[ref.kind]["obs_high"][ref.slot],
     )

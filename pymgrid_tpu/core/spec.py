@@ -34,7 +34,7 @@ __all__ = ["ModuleRef", "MicrogridSpec", "extract_spec"]
 
 _KINDS = ("load", "renewable", "battery", "genset", "grid", "balancing")
 
-_FORECASTER_KINDS = ("none", "oracle", "gaussian", "user")
+_FORECASTER_KINDS = ("none", "oracle", "gaussian", "user", "user_bank")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,6 +157,16 @@ def _ts_module_meta(module):
     return kind, module.forecast_horizon, len(module.state_components)
 
 
+def _ts_meta_with_fn(module):
+    """Module meta with the forecaster kind refined by the engine probe:
+    a STOCHASTIC user callable becomes ``user_bank`` (pre-sampled
+    realization bank, built in ``_ts_params``)."""
+    kind, h, f = _ts_module_meta(module)
+    if kind == "user" and _engine_forecast_fn(module) is None:
+        kind = "user_bank"
+    return kind, h, f
+
+
 def _engine_forecast_fn(module):
     """Engine-traceable wrapper for a :class:`UserDefinedForecaster` callable
     (reference ``forecast/forecaster.py:283-373``), or ``None``.
@@ -171,18 +181,25 @@ def _engine_forecast_fn(module):
     forecaster = module.forecaster
     if type(forecaster).__name__ != "UserDefinedForecaster":
         return None
+    if getattr(forecaster, "_engine_stochastic", None) is True:
+        return None  # already probed (bank path)
 
     ts = np.asarray(module.time_series, dtype=np.float64)
     h = max(int(module.forecast_horizon), 1)
     window = ts[1 : 1 + min(h, len(ts) - 1)]
     probe = lambda: np.asarray(forecaster._forecaster(ts[0], window, len(window)))
     if not np.array_equal(probe(), probe()):
-        raise NotImplementedError(
-            "Engine requires a deterministic user forecaster (two calls on "
-            "identical inputs returned different values — e.g. np.random "
-            "noise would be frozen at trace time).  Use the host Microgrid "
-            "or a GaussianNoiseForecaster."
-        )
+        # STOCHASTIC user callable (e.g. np.random noise): its randomness
+        # would be silently frozen at trace time, so it cannot be traced —
+        # instead the engine pre-samples one full realization per step
+        # into an HBM bank at spec extraction (``_ts_params``; the
+        # noise-bank mechanism generalized, core/noise_bank.py).  Every
+        # engine episode replays that realization; host episodes draw
+        # fresh — distributionally equivalent, not bitwise (documented in
+        # docs/parity.md).
+        forecaster._engine_stochastic = True
+        return None
+    forecaster._engine_stochastic = False
 
     if forecaster.is_vectorized_forecaster:
         fn = forecaster._user_forecaster
@@ -247,7 +264,7 @@ def extract_spec(microgrid, dtype=np.float64):
 
     def make_ref(module, name, num):
         if isinstance(module, LoadModule):
-            fkind, h, f = _ts_module_meta(module)
+            fkind, h, f = _ts_meta_with_fn(module)
             return ModuleRef(
                 "load", len(slots["load"]), name, num,
                 _ts_log_fields(module, ("reward", "load_met")),
@@ -255,7 +272,7 @@ def extract_spec(microgrid, dtype=np.float64):
                 custom_fn=_engine_forecast_fn(module),
             )
         if isinstance(module, RenewableModule):
-            fkind, h, f = _ts_module_meta(module)
+            fkind, h, f = _ts_meta_with_fn(module)
             return ModuleRef(
                 "renewable", len(slots["renewable"]), name, num,
                 _ts_log_fields(module, ("reward", "curtailment", module.provided_energy_name)),
@@ -263,7 +280,7 @@ def extract_spec(microgrid, dtype=np.float64):
                 custom_fn=_engine_forecast_fn(module),
             )
         if isinstance(module, GridModule):
-            fkind, h, f = _ts_module_meta(module)
+            fkind, h, f = _ts_meta_with_fn(module)
             return ModuleRef(
                 "grid", len(slots["grid"]), name, num,
                 _ts_log_fields(module, ("reward", "co2_production", "grid_import", "grid_export")),
@@ -378,7 +395,7 @@ def _ts_params(mods, spec, dtype):
     noise = np.stack(
         [np.pad(n, ((0, max_h - n.shape[0]), (0, 0))) for n in noise]
     )
-    return {
+    out = {
         "ts": ts,
         "final_step": _stack(mods, "final_step", np.int64),
         "obs_low": np.stack(lows).astype(dtype),
@@ -386,6 +403,34 @@ def _ts_params(mods, spec, dtype):
         "obs_spread": np.stack(spreads).astype(dtype),
         "noise_std": noise.astype(dtype),
     }
+    # STOCHASTIC user forecasters: pre-sample one full realization per step
+    # into an HBM bank (the numpy-RNG noise-bank mechanism generalized to
+    # arbitrary callables).  One host call per step, in ascending-t order,
+    # drawing from the callable's own RNG state at extraction time; the
+    # engine replays bank[t] with the same off-end revert + clip as the
+    # traced deterministic path.
+    banks = []
+    has_bank = False
+    for mi, m in enumerate(mods):
+        h = max(m.forecast_horizon, 1)
+        n_feat = len(m.state_components)
+        fc = m.forecaster
+        if not getattr(fc, "_engine_stochastic", False):
+            banks.append(np.zeros((max_len, max_h, n_feat)))
+            continue
+        has_bank = True
+        arr = padded[mi]  # fill-padded rows, same windows the engine sees
+        bank = np.zeros((max_len, max_h, n_feat))
+        for t in range(max_len):
+            window = arr[t + 1 : t + 1 + h]
+            raw = np.asarray(
+                fc._forecaster(arr[t], window, h), dtype=np.float64
+            ).reshape(h, n_feat)
+            bank[t, :h] = raw
+        banks.append(bank)
+    if has_bank:
+        out["user_bank"] = np.stack(banks).astype(dtype)
+    return out
 
 
 def _extract_params(microgrid, slots, spec, dtype):

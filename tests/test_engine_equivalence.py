@@ -387,15 +387,58 @@ def test_engine_user_forecaster_off_end():
     run_equivalence(mg, n_steps=25, seed=15)
 
 
-def test_engine_user_forecaster_nondeterministic_rejected():
+def test_engine_user_forecaster_stochastic_bank():
     """np.random inside a user callable would freeze at trace time — the
-    engine rejects it at spec extraction with guidance."""
+    engine instead pre-samples one realization per step into an HBM bank
+    at spec extraction (VERDICT r4 missing item 4: the noise-bank
+    mechanism generalized to arbitrary stochastic callables).  Every
+    engine episode replays that realization; parity with the host is
+    distributional, not bitwise (docs/parity.md #13)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pymgrid_tpu.core.engine import make_reset_fn, make_step_fn
+    from pymgrid_tpu.core.spec import extract_spec
+
     def noisy(val_c, val_c_n, n):
         return val_c_n * (1 + 0.01 * np.abs(np.random.rand(*np.shape(val_c_n))))
 
     mg = _user_forecast_microgrid(64, noisy, 4)
-    with pytest.raises(NotImplementedError, match="deterministic"):
-        CompiledMicrogrid(mg, dtype=np.float64)
+    np.random.seed(1234)
+    spec, params, _ = extract_spec(mg, dtype=np.float64)
+    assert any(m.forecaster == "user_bank" for m in spec.log_order)
+    assert "user_bank" in params["renewable"]
+
+    jparams = jax.tree.map(jnp.asarray, params)
+    step_fn = jax.jit(make_step_fn(spec, normalized=False))
+    reset_fn = jax.jit(make_reset_fn(spec))
+
+    def episode(seed):
+        state = reset_fn(jparams, jax.random.PRNGKey(seed))
+        obs_rows = []
+        zero = {"battery": jnp.zeros(1, np.float64),
+                "genset": jnp.zeros((0, 2), np.float64),
+                "grid": jnp.zeros(1, np.float64)}
+        for _ in range(5):
+            state, out = step_fn(jparams, state, zero)
+            obs_rows.append(np.asarray(out.obs))
+        return np.stack(obs_rows)
+
+    a, b = episode(0), episode(0)
+    np.testing.assert_array_equal(a, b)  # episodes replay the realization
+
+    # the bank realization actually perturbs the forecast (not oracle):
+    # rebuild with the same module structure but an oracle forecaster
+    mg2 = _user_forecast_microgrid(64, "oracle", 4)
+    spec2, params2, _ = extract_spec(mg2, dtype=np.float64)
+    jparams2 = jax.tree.map(jnp.asarray, params2)
+    step2 = jax.jit(make_step_fn(spec2, normalized=False))
+    state2 = jax.jit(make_reset_fn(spec2))(jparams2, jax.random.PRNGKey(0))
+    zero = {"battery": jnp.zeros(1, np.float64),
+            "genset": jnp.zeros((0, 2), np.float64),
+            "grid": jnp.zeros(1, np.float64)}
+    _, out2 = step2(jparams2, state2, zero)
+    assert not np.array_equal(a[0], np.asarray(out2.obs))
 
 
 def test_lockstep_sweep_bitwise_matches_vmapped_rollout():
