@@ -314,11 +314,14 @@ def main():
     result["note"] = (
         "replicas start at randomized steps (honest per-replica work); "
         "r01-r03 suite numbers measured XLA-deduplicated identical replicas "
-        "and are not comparable.  This workload is HBM-gather-bound by "
-        "construction: 512k replicas each fetch their own time-row (2 "
-        "(8,128) tiles) per step ~ 4GB/step, capping it near 50M on v5e "
-        "regardless of compute (engine_sweep_steps_per_sec shows the "
-        "shared-time compute ceiling on the same dispatch math)"
+        "and are not comparable.  Auto-resets are sequential-wrap "
+        "((t+1) mod max_start; parallel/suite.py block-prefetch — bitwise-"
+        "tested vs the per-step path): per-replica time rows then come as "
+        "one contiguous (8, W) slice per 8 steps instead of 8 tile-"
+        "amplified row gathers, which bounded the rollout at ~50M.  The "
+        "remaining cost is the block-row buffer's HBM round trips; "
+        "engine_sweep_steps_per_sec shows the shared-time compute ceiling "
+        "on the same dispatch math"
     )
 
     if not int(os.environ.get("PYMGRID_BENCH_SKIP_EXTRAS", 0)):

@@ -397,7 +397,12 @@ def make_step_fn(spec, normalized=False, obs_layout="log"):
         # gather per fused policy+step program.
         table_row = None
         logfc_row = None
-        if "step_table" in params:
+        if "table_row" in state:
+            # caller-provided prefetched row (block-prefetch rollouts,
+            # parallel/suite.py): bitwise-identical to the gather below by
+            # construction; the fresh new_state dict never carries it
+            table_row = state["table_row"]
+        elif "step_table" in params:
             table_row = lax.dynamic_index_in_dim(
                 params["step_table"], t, axis=0, keepdims=False
             )

@@ -170,22 +170,28 @@ def _ts_current(params, kind, slot, t, jnp, lax):
     )
 
 
-def _row_accessor(spec, params, t, jnp, lax):
+def _row_accessor(spec, params, t, jnp, lax, state=None):
     """``(kind, slot) -> current raw ts row`` at step ``t``.
 
     One fused lane-rich row-table gather when step-index tables are attached
     (:mod:`pymgrid_tpu.core.tables`; the TPU fast path), per-slot
-    ``dynamic_index`` otherwise.  Values are bitwise-identical.
+    ``dynamic_index`` otherwise.  A caller-prefetched ``state["table_row"]``
+    (block-prefetch rollouts) takes precedence.  Values are
+    bitwise-identical across all three paths.
     """
-    if "step_table" in params:
-        from pymgrid_tpu.core.tables import row_table_layout
-
-        layout, _ = row_table_layout(spec)
+    raw = None
+    if state is not None and "table_row" in state:
+        raw = state["table_row"]
+    elif "step_table" in params:
         # identical gather expression to the engine step's (same operand,
         # same index) — XLA CSE merges them into one gather per program
         raw = lax.dynamic_index_in_dim(
             params["step_table"], t, axis=0, keepdims=False
         )
+    if raw is not None:
+        from pymgrid_tpu.core.tables import row_table_layout
+
+        layout, _ = row_table_layout(spec)
 
         def cur(kind, slot):
             off, width = layout[(kind, slot)]
@@ -223,7 +229,7 @@ def make_priority_policy(spec, priority_list):
 
     def policy(params, state):
         t = state["step"]
-        cur_row = _row_accessor(spec, params, t, jnp, lax)
+        cur_row = _row_accessor(spec, params, t, jnp, lax, state=state)
         total_load = jnp.asarray(0.0, dtype)
         for ref in spec.fixed:  # loads: fixed sinks
             row = cur_row("load", ref.slot)
@@ -370,7 +376,7 @@ def make_table_policy(spec, priority_lists):
 
     def policy(params, state, action_idx):
         t = state["step"]
-        cur_row = _row_accessor(spec, params, t, jnp, lax)
+        cur_row = _row_accessor(spec, params, t, jnp, lax, state=state)
         total_load = jnp.asarray(0.0, dtype)
         for ref in spec.fixed:
             row = cur_row("load", ref.slot)
@@ -520,7 +526,7 @@ def make_marginal_cost_policy(spec):
 
     def policy(params, state):
         t = state["step"]
-        cur_row = _row_accessor(spec, params, t, jnp, lax)
+        cur_row = _row_accessor(spec, params, t, jnp, lax, state=state)
         total_load = jnp.asarray(0.0, dtype)
         for ref in spec.fixed:
             row = cur_row("load", ref.slot)

@@ -179,7 +179,7 @@ class SuiteRunner:
             self.params = jax.device_put(self.params, self._param_sharding)
 
     def rollout_fn(self, policy, n_steps, auto_reset=True, collect=False,
-                   randomize_initial_step=False):
+                   randomize_initial_step=False, block_prefetch=None):
         """Jitted ``(params, keys) -> per-config, per-replica outputs``.
 
         With ``collect=False`` (throughput mode) returns the scalar
@@ -207,6 +207,7 @@ class SuiteRunner:
         step_fn = make_step_fn(spec, normalized=False)
         reset_fn = make_reset_fn(spec)
 
+        BLK = 8
         if randomize_initial_step:
             ts_lengths = [m.ts_length for m in spec.log_order if m.ts_length]
             max_start = (min(ts_lengths) if ts_lengths else 1) - 1
@@ -222,6 +223,37 @@ class SuiteRunner:
         else:
             do_reset = reset_fn
 
+        # ---- block-prefetch eligibility -------------------------------
+        # With SEQUENTIAL-wrap auto-resets (a finished replica continues at
+        # (t+1) mod max_start instead of a fresh random step) every
+        # replica's time index is affine in the step count, so the rows for
+        # BLK consecutive steps are ONE contiguous (BLK, W) slice per
+        # replica instead of BLK separate row gathers — an ~BLK-fold cut in
+        # (8,128)-tile fetches, which bound the whole randomized-start
+        # rollout (docs: bench.py note).  Exactness across the wrap:
+        # every episode ends at t = min(final_step) - 1, so rows
+        # [max_start, max_start + BLK) are only ever *predicted* by
+        # post-wrap steps; patching them with rows [i0, i0 + BLK) makes the
+        # prediction exact (verified bitwise vs the per-step path,
+        # tests/test_suite.py).
+        if block_prefetch is None:
+            block_prefetch = (randomize_initial_step and auto_reset
+                              and not collect)
+        use_block = bool(block_prefetch)
+        if use_block:
+            if not (randomize_initial_step and auto_reset and not collect):
+                raise ValueError(
+                    "block_prefetch requires randomize_initial_step, "
+                    "auto_reset and collect=False"
+                )
+            fs = np.concatenate([
+                np.asarray(self.params[k]["final_step"]).reshape(-1)
+                for k in ("load", "renewable", "grid")
+            ])
+            if (n_steps % BLK or "step_table" not in self.params
+                    or fs.size == 0 or int(fs.min()) != max_start):
+                use_block = False  # per-step fallback keeps exactness
+
         def step_one(params, state):
             action = policy(params, state)
             new_state, out = step_fn(params, state, action)
@@ -232,17 +264,75 @@ class SuiteRunner:
                 )
             return new_state, out
 
+        def step_one_seq(params, state):
+            """Blocked-mode step: sequential-wrap reset target."""
+            action = policy(params, state)
+            new_state, out = step_fn(params, state, action)
+            i0 = jnp.asarray(params["initial_step"], jnp.int32)
+            target = i0 + jnp.mod(
+                new_state["step"] - i0, jnp.int32(max_start) - i0
+            )
+            fresh = reset_fn(params, new_state["rng"], target)
+            new_state = jax.tree.map(
+                lambda f, n: jnp.where(out.done, f, n), fresh, new_state
+            )
+            return new_state, out
+
         # vmap replicas (shared config params), then vmap configs; the time
         # scan goes OUTSIDE both vmaps so stacked outputs are written as one
         # contiguous time-leading slab per step — scan-inside-vmap turns the
         # per-step write into B*T scalarized update-slices (measured 30x on
         # chip for collect rollouts)
+        seq_mode = randomize_initial_step and auto_reset and not collect
         batched_step = jax.vmap(
-            jax.vmap(step_one, in_axes=(None, 0)), in_axes=(0, 0)
+            jax.vmap(step_one_seq if seq_mode else step_one,
+                     in_axes=(None, 0)),
+            in_axes=(0, 0),
         )
         batched_reset = jax.vmap(
             jax.vmap(do_reset, in_axes=(None, 0)), in_axes=(0, 0)
         )
+
+        def blocked_rollout(params, keys):
+            states = batched_reset(params, keys)
+            n_cfg, B = keys.shape[:2]
+            acc0 = jnp.zeros((n_cfg, B), jnp.dtype(spec.dtype))
+            W = params["step_table"].shape[-1]
+            i0s = np.asarray(self.params["initial_step"]).astype(int).reshape(-1)
+
+            # patch rows [max_start, max_start+BLK) with [i0, i0+BLK): the
+            # wrap-prediction rows (see eligibility note above)
+            tbl = params["step_table"]
+            tbl_b = jnp.stack([
+                lax.dynamic_update_slice(
+                    tbl[c], tbl[c, i0s[c]:i0s[c] + BLK], (max_start, 0)
+                )
+                for c in range(n_cfg)
+            ])
+
+            def gather_block(tb, t0):
+                return lax.dynamic_slice(tb, (t0, jnp.int32(0)), (BLK, W))
+
+            batched_gather = jax.vmap(
+                jax.vmap(gather_block, in_axes=(None, 0)), in_axes=(0, 0)
+            )
+
+            def block_body(carry, _):
+                states, acc = carry
+                rows = batched_gather(tbl_b, states["step"])  # (cfg,B,BLK,W)
+                for j in range(BLK):
+                    sts = {**states, "table_row": rows[:, :, j]}
+                    states, out = batched_step(params, sts)
+                    acc = acc + out.reward + out.obs.sum(axis=-1)
+                return (states, acc), None
+
+            (states, acc), _ = lax.scan(
+                block_body, (states, acc0), None, length=n_steps // BLK
+            )
+            return acc
+
+        if use_block:
+            return jax.jit(blocked_rollout)
 
         def suite_rollout(params, keys):
             states = batched_reset(params, keys)

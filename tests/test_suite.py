@@ -163,3 +163,72 @@ def test_randomized_initial_step_matches_shifted_host():
             host_log[("balance", 0, "reward")].values,
             err_msg=f"replica {b} (t0={t0})",
         )
+
+
+def test_block_prefetch_bitwise_matches_per_step():
+    """The block-prefetch rollout (sequential-wrap resets, one (BLK, W)
+    row slice per replica per 8 steps) is bitwise-equal to the per-step
+    path with identical reset semantics — including across episode wraps,
+    where predictions read the patched [max_start, max_start+BLK) rows."""
+    from pymgrid_tpu.core.rollout import make_marginal_cost_policy
+
+    mgs = [pymgrid_tpu.Microgrid.from_scenario(n) for n in (0, 1)]
+    runner = SuiteRunner(mgs, batch_per_config=4, dtype=np.float64)
+    policy = make_marginal_cost_policy(runner.spec)
+    keys = runner.make_keys(seed=11)
+
+    # shorten the wrap cycle so episodes actually end within the test:
+    # trim final_step via the host microgrids instead (keep it simple —
+    # 48 steps with year-long series never wraps; the wrap case is covered
+    # by construction on short scenarios below)
+    fn_blk = runner.rollout_fn(policy, 48, auto_reset=True, collect=False,
+                               randomize_initial_step=True,
+                               block_prefetch=True)
+    fn_seq = runner.rollout_fn(policy, 48, auto_reset=True, collect=False,
+                               randomize_initial_step=True,
+                               block_prefetch=False)
+    np.testing.assert_array_equal(
+        np.asarray(fn_blk(runner.params, keys)),
+        np.asarray(fn_seq(runner.params, keys)),
+    )
+
+
+def test_block_prefetch_bitwise_across_wrap():
+    """Same equality on a SHORT series so every replica wraps repeatedly
+    (the patched-row prediction case)."""
+    import warnings
+
+    from pymgrid_tpu.core.rollout import make_marginal_cost_policy
+
+    warnings.filterwarnings("ignore")
+    rng = np.random.RandomState(0)
+    T = 40
+    from pymgrid_tpu.microgrid import Microgrid as MG
+    from pymgrid_tpu.modules import (
+        BatteryModule, GridModule, LoadModule, RenewableModule,
+    )
+
+    def make_mg():
+        return MG([
+            BatteryModule(min_capacity=10, max_capacity=100, max_charge=50,
+                          max_discharge=50, efficiency=0.9,
+                          battery_cost_cycle=0.02, init_soc=0.5),
+            ("pv", RenewableModule(time_series=50 * rng.rand(T))),
+            LoadModule(time_series=60 * rng.rand(T)),
+            GridModule(max_import=100, max_export=100,
+                       time_series=rng.rand(T, 3)),
+        ])
+
+    runner = SuiteRunner([make_mg()], batch_per_config=6, dtype=np.float64)
+    policy = make_marginal_cost_policy(runner.spec)
+    keys = runner.make_keys(seed=5)
+    fn_blk = runner.rollout_fn(policy, 160, auto_reset=True, collect=False,
+                               randomize_initial_step=True,
+                               block_prefetch=True)
+    fn_seq = runner.rollout_fn(policy, 160, auto_reset=True, collect=False,
+                               randomize_initial_step=True,
+                               block_prefetch=False)
+    np.testing.assert_array_equal(
+        np.asarray(fn_blk(runner.params, keys)),
+        np.asarray(fn_seq(runner.params, keys)),
+    )
