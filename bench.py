@@ -133,11 +133,11 @@ def bench_rl_fused_rollout(batch_size=65536, n_steps=100, dtype=np.float32,
         return np.asarray(_jnp.sum(outs.reward[-1, :8]))
 
     states = batched.reset(seed=seed)
-    _, outs = batched.rollout(states, action_seq)  # compile
+    _, outs = batched.rollout(states, action_seq, shared_step=True)  # compile
     fetch_probe(outs)
 
     t0 = time.perf_counter()
-    _, outs = batched.rollout(states, action_seq)
+    _, outs = batched.rollout(states, action_seq, shared_step=True)
     fetch_probe(outs)
     wall = time.perf_counter() - t0
     return batch_size * n_steps / wall

@@ -99,7 +99,17 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
         (T, B) buffers store one contiguous slab per step — vmapping a
         per-env scan wrote strided (B, T) columns and capped training at
         ~0.1M env-steps/s."""
-        batched_env_step = jax.vmap(env_step, in_axes=(None, 0, 0, None))
+        # all replicas share the simulated time (same reset start, and
+        # auto-resets fire simultaneously since done depends only on t):
+        # carrying `step`/deterministic forecast UNBATCHED turns every
+        # per-replica time-row gather into one broadcast row (the
+        # shared-step trick, parallel/batched_env.py rollout)
+        env_axes = {"step": None, "battery_charge": 0, "genset": 0,
+                    "rng": 0, "forecast": None}
+        batched_env_step = jax.vmap(
+            env_step, in_axes=(None, env_axes, 0, None),
+            out_axes=(env_axes, 0),
+        )
 
         def body(carry, _):
             states, obses, keys = carry
@@ -188,6 +198,10 @@ def build_training(scenario=1, batch=1024, rollout_len=64, lr=3e-4,
             "grid": jnp.zeros(spec.n_grid, dtype),
         }
         states, outs = jax.vmap(lambda s: step_fn(params, s, zero))(states)
+        # shared-step layout: one scalar simulated time for the whole batch
+        states = dict(states)
+        states["step"] = states["step"][0]
+        states["forecast"] = jax.tree.map(lambda x: x[0], states["forecast"])
         return states, outs.obs
 
     # ------------------------------------------------------------ evaluation

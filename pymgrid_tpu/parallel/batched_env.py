@@ -50,7 +50,8 @@ def _shard_inputs(env, states, action_seq, seq_spec):
 
 
 
-def _fused_rollout(env, states, action_seq, keep_logs, keep_obs=True):
+def _fused_rollout(env, states, action_seq, keep_logs, keep_obs=True,
+                   shared_step=False):
     """Run a whole action sequence as ONE device program.
 
     ``lax.scan`` over time, ``vmap`` over replicas: a python ``step()``
@@ -62,16 +63,41 @@ def _fused_rollout(env, states, action_seq, keep_logs, keep_obs=True):
     stacked observations, letting XLA dead-code-eliminate the per-step
     observation construction (forecast window gathers + normalization) —
     measured 4-10x on evaluation rollouts where only rewards matter.
+
+    ``shared_step=True``: all replicas provably share the simulated time
+    (true for ``reset()`` states — same start, and auto-resets fire
+    simultaneously since ``done`` depends only on ``t``), so ``step`` (and
+    deterministic forecast state) ride the scan carry UNBATCHED: every
+    time-row read is one broadcast gather instead of B tile-amplified
+    per-replica gathers (the lockstep-sweep trick, core/rollout.py).
+    Bitwise-identical outputs; requires states whose ``step`` entries are
+    all equal (as ``reset()`` returns).
     """
     import jax
     from jax import lax
 
     from pymgrid_tpu.utils.layout import constrain_row_major, pad_lanes
 
-    key = (bool(keep_logs), bool(keep_obs))
+    key = (bool(keep_logs), bool(keep_obs), bool(shared_step))
     fn = env._rollout_cache.get(key)
     if fn is None:
-        batch_step = jax.vmap(env._single_step, in_axes=(None, 0, 0))
+        if shared_step:
+            det_forecast = env.spec.numpy_noise or not any(
+                m.forecaster == "gaussian" for m in env.spec.log_order
+            )
+            state_axes = {
+                "step": None,
+                "battery_charge": 0,
+                "genset": 0,
+                "rng": 0,
+                "forecast": None if det_forecast else 0,
+            }
+            batch_step = jax.vmap(
+                env._single_step, in_axes=(None, state_axes, 0),
+                out_axes=(state_axes, 0),
+            )
+        else:
+            batch_step = jax.vmap(env._single_step, in_axes=(None, 0, 0))
 
         def run(params, states, seq):
             def body(states, a):
@@ -158,13 +184,21 @@ class BatchedDiscreteEnv:
             )(params, states, idxs)
         )
 
-    def rollout(self, states, action_seq, keep_logs=False, keep_obs=True):
+    def rollout(self, states, action_seq, keep_logs=False, keep_obs=True,
+                shared_step=False):
         """Fused T-step rollout: ``action_seq`` is ``(T, B)`` integer
         actions; returns ``(final_states, outs)`` with ``outs`` a
         time-major stacked StepOutput (``log_row`` is ``None`` unless
         ``keep_logs``; ``obs`` is ``None`` if ``keep_obs=False`` — 4-10x
         faster for reward-only evaluation).  Equivalent to T ``step()``
-        calls but compiled as one program — see :func:`_fused_rollout`."""
+        calls but compiled as one program — see :func:`_fused_rollout`.
+
+        ``shared_step=True`` (opt-in): all replicas carry ONE simulated
+        time (valid for ``reset()`` states — same start, simultaneous
+        auto-resets), eliminating per-replica time-row gathers.  The
+        returned final states keep the shared-scalar ``step``; pass them
+        back only to another ``shared_step`` rollout."""
+        import jax
         import jax.numpy as jnp
 
         action_seq = jnp.asarray(action_seq, jnp.int32)
@@ -179,7 +213,18 @@ class BatchedDiscreteEnv:
             states, action_seq = _shard_inputs(
                 self, states, action_seq, P(None, "batch")
             )
-        return _fused_rollout(self, states, action_seq, keep_logs, keep_obs)
+        if shared_step and jnp.ndim(states["step"]) > 0:
+            det_forecast = self.spec.numpy_noise or not any(
+                m.forecaster == "gaussian" for m in self.spec.log_order
+            )
+            states = dict(states)
+            states["step"] = jax.tree.map(lambda x: x[0], states["step"])
+            if det_forecast:
+                states["forecast"] = jax.tree.map(
+                    lambda x: x[0], states["forecast"]
+                )
+        return _fused_rollout(self, states, action_seq, keep_logs, keep_obs,
+                              shared_step=shared_step)
 
     def reset(self, seed=0):
         """Returns batched initial states for B replicas (pass to
