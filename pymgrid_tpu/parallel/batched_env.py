@@ -344,13 +344,15 @@ class BatchedContinuousEnv:
             )(params, states, acts)
         )
 
-    def rollout(self, states, action_seq, keep_logs=False, keep_obs=True):
+    def rollout(self, states, action_seq, keep_logs=False, keep_obs=True,
+                shared_step=False):
         """Fused T-step rollout: ``action_seq`` is ``(T, B, action_dim)``
         normalized actions; returns ``(final_states, outs)`` with ``outs``
         a time-major stacked StepOutput (``log_row`` is ``None`` unless
         ``keep_logs``; ``obs`` dropped if ``keep_obs=False``).  Equivalent
         to T ``step()`` calls but compiled as one program — see
-        :func:`_fused_rollout`."""
+        :func:`_fused_rollout` (incl. the ``shared_step`` contract)."""
+        import jax
         import jax.numpy as jnp
 
         action_seq = jnp.asarray(action_seq)
@@ -366,7 +368,18 @@ class BatchedContinuousEnv:
             states, action_seq = _shard_inputs(
                 self, states, action_seq, P(None, "batch")
             )
-        return _fused_rollout(self, states, action_seq, keep_logs, keep_obs)
+        if shared_step and jnp.ndim(states["step"]) > 0:
+            det_forecast = self.spec.numpy_noise or not any(
+                m.forecaster == "gaussian" for m in self.spec.log_order
+            )
+            states = dict(states)
+            states["step"] = jax.tree.map(lambda x: x[0], states["step"])
+            if det_forecast:
+                states["forecast"] = jax.tree.map(
+                    lambda x: x[0], states["forecast"]
+                )
+        return _fused_rollout(self, states, action_seq, keep_logs, keep_obs,
+                              shared_step=shared_step)
 
     def reset(self, seed=0):
         """Batched initial states for B replicas."""
