@@ -182,7 +182,11 @@ def _suite_throughput(n_configs, replicas, n_steps, mesh=None, repeats=3,
     runner = SuiteRunner(mgs, batch_per_config=replicas, dtype=np.float32,
                          mesh=mesh)
     policy = make_marginal_cost_policy(runner.spec)
-    fn = runner.rollout_fn(policy, n_steps, auto_reset=True, collect=False)
+    # honest mode (r4 finding): distinct per-replica starts, else XLA
+    # deduplicates the replica dimension and the sweep measures
+    # broadcastable work
+    fn = runner.rollout_fn(policy, n_steps, auto_reset=True, collect=False,
+                           randomize_initial_step=True)
     keys = runner.make_keys(seed=seed)
 
     np.asarray(fn(runner.params, keys))  # compile + warm (and host fetch)
@@ -303,7 +307,10 @@ def _write_scaling_report(out, virtual_rows, chip_rows, args):
     if chip_rows:
         lines = [
             "Suite throughput on ONE real TPU chip (v5e) as the env batch",
-            f"grows ({args.scaling_steps} steps, f32, 25 configs):",
+            f"grows ({args.scaling_steps} steps, f32, 25 configs, HONEST",
+            "mode — randomized per-replica starts, so no XLA replica",
+            "dedup; r1-r3 sweeps measured broadcastable work and are not",
+            "comparable):",
             "",
             "| total envs | env-steps/s/chip |",
             "|---|---|",
