@@ -74,6 +74,7 @@ def _fused_rollout(env, states, action_seq, keep_logs, keep_obs=True,
     all equal (as ``reset()`` returns).
     """
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
     from pymgrid_tpu.utils.layout import constrain_row_major, pad_lanes
@@ -100,29 +101,39 @@ def _fused_rollout(env, states, action_seq, keep_logs, keep_obs=True,
             batch_step = jax.vmap(env._single_step, in_axes=(None, 0, 0))
 
         def run(params, states, seq):
+            # episode buffers are stored FIELD-MAJOR, (T, d, B) with the
+            # batch minor: the engine builds obs/log rows by stacking many
+            # per-field (B,) arrays, and stacking onto a new MINOR axis
+            # interleaves every field at stride d (measured: keep_obs cost
+            # halved the whole rollout).  constrain_axis_major makes the
+            # stack d contiguous block copies; one transpose after the
+            # scan restores the (T, B, d) API layout.
+            from pymgrid_tpu.utils.layout import constrain_axis_major
+
             def body(states, a):
                 states, out = batch_step(params, states, a)
                 if not keep_logs:
                     out = out._replace(log_row=None)
                 else:
-                    out = out._replace(log_row=pad_lanes(out.log_row))
+                    lr = constrain_axis_major(out.log_row, 1)
+                    out = out._replace(log_row=pad_lanes(lr.T))
                 if not keep_obs:
                     out = out._replace(obs=None)
                 else:
-                    out = out._replace(obs=pad_lanes(out.obs))
+                    ob = constrain_axis_major(out.obs, 1)
+                    out = out._replace(obs=pad_lanes(ob.T))
                 return states, out
 
             states, outs = lax.scan(body, states, seq)
+            B = seq.shape[1]
             if keep_obs:
-                outs = outs._replace(
-                    obs=constrain_row_major(outs.obs)[..., : env.obs_dim]
-                )
+                y = constrain_row_major(outs.obs)[:, : env.obs_dim, :B]
+                outs = outs._replace(obs=jnp.swapaxes(y, 1, 2))
             if keep_logs:
-                outs = outs._replace(
-                    log_row=constrain_row_major(outs.log_row)[
-                        ..., : env.spec.n_log_fields
-                    ]
-                )
+                y = constrain_row_major(outs.log_row)[
+                    :, : env.spec.n_log_fields, :B
+                ]
+                outs = outs._replace(log_row=jnp.swapaxes(y, 1, 2))
             return states, outs
 
         fn = jax.jit(run)
